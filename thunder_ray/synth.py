@@ -1,0 +1,105 @@
+"""Deterministic synthetic tokenized-sequences table (FIXTURES.md F1).
+
+Mirrors thunder's ``series.fromrandom`` pattern
+(thunder/series/readers.py:~240): seeded per block so any block can be
+(re)generated independently and bit-identically — the property that makes
+generation parallel, resumable and verifiable at any scale.
+
+Schema: :data:`thunder_ray.schema.TOKENS_SCHEMA`
+  - ``doc_id``  "doc-%08d" over the global row index
+  - ``tokens``  length uniform [32, 512), values uniform [0, 50257)
+  - ``n_tok``   len(tokens)
+  - ``source``  Zipf(a=1.5)-skewed over [src-0 .. src-31] (intentional skew)
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .schema import TOKENS_SCHEMA, VOCAB_SIZE
+
+SEED = 42
+N_SOURCES = 32
+MIN_TOK, MAX_TOK = 32, 512
+
+
+def generate_block(block_id: int, rows: int, seed: int = SEED) -> pa.Table:
+    """Generate one block deterministically: ``rng = default_rng(seed + block_id)``."""
+    rng = np.random.default_rng(seed + block_id)
+    lens = rng.integers(MIN_TOK, MAX_TOK, size=rows, dtype=np.int64)
+    values = rng.integers(0, VOCAB_SIZE, size=int(lens.sum()), dtype=np.int32)
+    offsets = np.zeros(rows + 1, dtype=np.int32)
+    np.cumsum(lens, out=offsets[1:])
+    src_idx = (rng.zipf(1.5, size=rows) - 1) % N_SOURCES
+    base = block_id * rows
+    doc_id = pa.array([f"doc-{base + i:08d}" for i in range(rows)], type=pa.string())
+    tokens = pa.ListArray.from_arrays(pa.array(offsets), pa.array(values))
+    source = pa.array([f"src-{k}" for k in src_idx], type=pa.string())
+    return pa.Table.from_arrays(
+        [doc_id, tokens, pa.array(lens.astype(np.int32)), source],
+        schema=TOKENS_SCHEMA,
+    )
+
+
+def generate_table(rows: int, rows_per_block: int = 10_000, seed: int = SEED) -> pa.Table:
+    """Small in-memory table (tests). Same bits as the parquet path."""
+    blocks = []
+    bid = 0
+    while rows > 0:
+        n = min(rows, rows_per_block)
+        blocks.append(generate_block(bid, n, seed))
+        rows -= n
+        bid += 1
+    return pa.concat_tables(blocks)
+
+
+def write_tokens_parquet(
+    out_dir: str, rows: int, rows_per_block: int = 10_000, seed: int = SEED
+) -> str:
+    """Materialize the synthetic table as one parquet file per block.
+
+    Idempotent: skips blocks whose part file already exists (a `_SUCCESS`
+    marker gates completeness), so benchmark inputs are generated once.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    marker = os.path.join(out_dir, "_SUCCESS")
+    n_blocks = (rows + rows_per_block - 1) // rows_per_block
+    if os.path.exists(marker):
+        return out_dir
+    left = rows
+    for bid in range(n_blocks):
+        n = min(left, rows_per_block)
+        left -= n
+        part = os.path.join(out_dir, f"part-{bid:05d}.parquet")
+        if os.path.exists(part):
+            continue
+        tmp = part + ".tmp"
+        pq.write_table(generate_block(bid, n, seed), tmp)
+        os.replace(tmp, part)
+    with open(marker, "w") as f:
+        f.write(f"rows={rows} rows_per_block={rows_per_block} seed={seed}\n")
+    return out_dir
+
+
+def synth_dataset(rows: int, rows_per_block: int = 10_000, seed: int = SEED):
+    """The table as a lazy ``ray.data.Dataset`` generated in parallel.
+
+    One input row per block id; each task materializes its block from the
+    seed — no data moves from the driver.
+    """
+    import ray.data as rd
+
+    n_blocks = (rows + rows_per_block - 1) // rows_per_block
+    sizes = [min(rows - b * rows_per_block, rows_per_block) for b in range(n_blocks)]
+
+    def make(batch):
+        bids = batch["id"].to_pylist() if isinstance(batch, pa.Table) else list(batch["id"])
+        return pa.concat_tables([generate_block(int(b), sizes[int(b)], seed) for b in bids])
+
+    return rd.range(n_blocks, override_num_blocks=n_blocks).map_batches(
+        make, batch_format="pyarrow", batch_size=1
+    )
