@@ -1,0 +1,87 @@
+"""End-to-end tier pipeline: checkpoint/resume ≡ single-shot; gap-fill."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data as rd
+
+from thunder_ray.pipelines import tiers as tp
+from thunder_ray.stages import gapfill, rollup as ru
+from thunder_ray.synth import write_tokens_parquet
+
+
+@pytest.fixture(scope="module")
+def tokens_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("tokens")
+    return write_tokens_parquet(str(d / "tok"), rows=600, rows_per_block=75)
+
+
+def tier_frames(out_root):
+    out = {}
+    for tier in ("1m", "1h", "1d"):
+        df = tp.read_tier(out_root, tier).to_pandas()
+        out[tier] = df.sort_values(["source", "bucket"]).reset_index(drop=True)
+    return out
+
+
+def test_run_rollup_and_resume(ray_session, tokens_dir, tmp_path):
+    single = str(tmp_path / "single")
+    m1 = tp.run_rollup(tokens_dir, single, files_per_shard=2, batch_size=64)
+    assert m1["shards_run"] == 4 and m1["shards_skipped"] == 0
+    assert m1["points_1m"] > m1["points_1h"] >= m1["points_1d"] >= 1
+
+    # kill after 2 shards, then resume — must equal the single-shot run
+    resumed = str(tmp_path / "resumed")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        tp.run_rollup(tokens_dir, resumed, files_per_shard=2, batch_size=64,
+                      fail_after_shards=2)
+    m2 = tp.run_rollup(tokens_dir, resumed, files_per_shard=2, batch_size=64)
+    assert m2["shards_skipped"] == 2 and m2["shards_run"] == 2
+
+    a, b = tier_frames(single), tier_frames(resumed)
+    for tier in ("1m", "1h", "1d"):
+        pd.testing.assert_frame_equal(a[tier], b[tier])
+        # bit-identical floats
+        assert a[tier]["mean"].to_numpy().tobytes() == b[tier]["mean"].to_numpy().tobytes()
+
+    # manifests carry lineage + metrics
+    import json, glob
+    man = sorted(glob.glob(os.path.join(single, "_manifest", "1m", "*.json")))
+    assert len(man) == 4
+    payload = json.load(open(man[0]))
+    assert payload["input_files"] and payload["partial_rows"] > 0 and payload["wall_seconds"] >= 0
+
+
+def test_gap_fill(ray_session):
+    import pyarrow as pa
+
+    # source 'a' has buckets 0, 3 -> fill 1, 2 with interpolated means
+    t = pa.table({
+        "source": ["a", "a", "b"],
+        "bucket": pa.array([0, 3, 5], type=pa.int64()),
+        "count": pa.array([2, 2, 1], type=pa.int64()),
+        "sum": pa.array([10, 40, 7], type=pa.int64()),
+        "sumsq": pa.array([60, 820, 49], type=pa.int64()),
+        "min": pa.array([4, 19, 7], type=pa.int32()),
+        "max": pa.array([6, 21, 7], type=pa.int32()),
+        "mean": pa.array([5.0, 20.0, 7.0]),
+        "m2": pa.array([2.0, 2.0, 0.0]),
+    })
+    got = gapfill.gap_fill(rd.from_arrow(t)).to_pandas()
+    got = got.sort_values(["source", "bucket"]).reset_index(drop=True)
+    a = got[got["source"] == "a"]
+    assert a["bucket"].tolist() == [0, 1, 2, 3]
+    np.testing.assert_allclose(a["mean"].to_numpy(), [5.0, 10.0, 15.0, 20.0])
+    assert a["gap_filled"].tolist() == [False, True, True, False]
+    assert a[a["gap_filled"]]["count"].tolist() == [0, 0]
+    b = got[got["source"] == "b"]
+    assert b["gap_filled"].tolist() == [False]
+
+    # matches the local oracle kernel
+    local = gapfill.gap_fill_local(t.to_pandas()).sort_values(["source", "bucket"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.astype({"min": "Int32", "max": "Int32"}), local.astype({"min": "Int32", "max": "Int32"})
+    )

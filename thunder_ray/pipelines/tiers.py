@@ -1,0 +1,176 @@
+"""Flagship pipeline: raw tokens -> 1m -> 1h -> 1d retention tiers, with
+per-shard checkpoint / lineage / metrics and resume (north rule; SURVEY.md
+§4.1 'checkpoint/resume' row, mirroring thunder's conf.json sidecar idea
+scaled up — thunder/series/writers.py:~10).
+
+Layout under ``out_root``::
+
+    partials_1m/shard=00000/part-*.parquet   # stage 1: per-shard 1m partials
+    _manifest/1m/shard-00000.json            # lineage + metrics per shard
+    tier=1m/  tier=1h/  tier=1d/             # stage 2: merged + finalized
+
+Stage 1 is the expensive pass over raw tokens; it is resumable at shard
+granularity (a shard = a group of input parquet files).  Each shard's
+output directory is written atomically (tmp dir + rename) and recorded in a
+manifest JSON carrying the input-file lineage, row/point counts, bytes and
+wall time — a rerun skips shards whose manifest entry exists.  Stage 2
+(merge partials -> finalize -> re-rollup 1m->1h->1d) touches only rolled
+points (tiny vs raw) and is idempotently rerun on resume.
+
+At 100 TB: shards map to input directories/row-group ranges; stage 1 runs
+one Ray Data pipeline per shard using the whole cluster, so object-store
+pressure is bounded by one shard's tokens regardless of total input size.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import time
+
+from ..schema import TIERS
+from ..stages import rollup as ru
+
+
+def _atomic_write_dir(ds, final_dir: str):
+    tmp = final_dir + ".tmp"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    ds.write_parquet(tmp)
+    if os.path.exists(final_dir):
+        shutil.rmtree(final_dir)
+    os.replace(tmp, final_dir)
+
+
+def _manifest_path(out_root: str, tier: str, shard_id: int) -> str:
+    return os.path.join(out_root, "_manifest", tier, f"shard-{shard_id:05d}.json")
+
+
+def _write_manifest(path: str, payload: dict):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(payload, f, indent=1, sort_keys=True)
+    os.replace(tmp, path)
+
+
+def list_input_shards(input_path: str, files_per_shard: int = 4) -> list[list[str]]:
+    """Deterministic sharding of the input file list (sorted, grouped)."""
+    if os.path.isdir(input_path):
+        files = sorted(glob.glob(os.path.join(input_path, "*.parquet")))
+    else:
+        files = [input_path]
+    if not files:
+        raise FileNotFoundError(f"no parquet under {input_path}")
+    return [files[i: i + files_per_shard] for i in range(0, len(files), files_per_shard)]
+
+
+def rollup_shard(files: list[str], tier_seconds: int, t0_column: str | None,
+                 batch_size: int | None):
+    """One shard's raw->tier partials as a (lazy) Dataset."""
+    from ..sources.tokens import read_tokens
+
+    cols = ["doc_id", "tokens", "source"] + ([t0_column] if t0_column else [])
+    ds = read_tokens(files, columns=cols)
+    return ds.map_batches(
+        ru.BucketizePartials(tier_seconds, t0_column=t0_column),
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size,
+    )
+
+
+def run_rollup(
+    input_path: str,
+    out_root: str,
+    base_tier: str = "1m",
+    tiers: tuple = ("1m", "1h", "1d"),
+    t0_column: str | None = None,
+    files_per_shard: int = 4,
+    batch_size: int | None = 4096,
+    resume: bool = True,
+    fail_after_shards: int | None = None,
+) -> dict:
+    """Run (or resume) the full tier pipeline.  Returns summary metrics.
+
+    ``fail_after_shards`` is a fault-injection hook for the kill/resume test.
+    """
+    os.makedirs(out_root, exist_ok=True)
+    base_seconds = TIERS[base_tier]
+    shards = list_input_shards(input_path, files_per_shard)
+    metrics = {"shards_total": len(shards), "shards_run": 0, "shards_skipped": 0}
+
+    # ---- stage 1: per-shard raw -> base-tier partials (resumable) ----
+    done = 0
+    for sid, files in enumerate(shards):
+        mpath = _manifest_path(out_root, base_tier, sid)
+        out_dir = os.path.join(out_root, f"partials_{base_tier}", f"shard={sid:05d}")
+        if resume and os.path.exists(mpath) and os.path.exists(out_dir):
+            metrics["shards_skipped"] += 1
+            continue
+        if fail_after_shards is not None and done >= fail_after_shards:
+            raise RuntimeError(f"injected failure after {done} shards")
+        t_start = time.perf_counter()
+        ds = rollup_shard(files, base_seconds, t0_column, batch_size)
+        _atomic_write_dir(ds, out_dir)
+        wall = time.perf_counter() - t_start
+        out_files = sorted(glob.glob(os.path.join(out_dir, "*.parquet")))
+        n_rows = sum(_parquet_rows(f) for f in out_files)
+        _write_manifest(mpath, {
+            "shard": sid,
+            "tier": base_tier,
+            "input_files": files,
+            "output_dir": out_dir,
+            "partial_rows": n_rows,
+            "output_bytes": sum(os.path.getsize(f) for f in out_files),
+            "wall_seconds": round(wall, 4),
+        })
+        metrics["shards_run"] += 1
+        done += 1
+
+    # ---- stage 2: merge partials -> finalized tiers (idempotent) ----
+    import ray.data as rd
+
+    partial_files = sorted(
+        glob.glob(os.path.join(out_root, f"partials_{base_tier}", "shard=*", "*.parquet"))
+    )
+    merged = ru.merge_partials(rd.read_parquet(partial_files))
+    base = merged.map_batches(ru.finalize_tier, batch_format="pyarrow", zero_copy_batch=True)
+    _atomic_write_dir(base, os.path.join(out_root, f"tier={base_tier}"))
+    metrics[f"points_{base_tier}"] = _dir_rows(os.path.join(out_root, f"tier={base_tier}"))
+
+    prev = base_tier
+    for tier in tiers:
+        if tier == base_tier:
+            continue
+        factor = TIERS[tier] // TIERS[prev]
+        prev_ds = rd.read_parquet(
+            sorted(glob.glob(os.path.join(out_root, f"tier={prev}", "*.parquet")))
+        )
+        _atomic_write_dir(ru.rerollup(prev_ds, factor), os.path.join(out_root, f"tier={tier}"))
+        metrics[f"points_{tier}"] = _dir_rows(os.path.join(out_root, f"tier={tier}"))
+        prev = tier
+
+    _write_manifest(os.path.join(out_root, "_manifest", "summary.json"), metrics)
+    return metrics
+
+
+def _parquet_rows(path: str) -> int:
+    import pyarrow.parquet as pq
+
+    return pq.read_metadata(path).num_rows
+
+
+def _dir_rows(d: str) -> int:
+    return sum(_parquet_rows(f) for f in sorted(glob.glob(os.path.join(d, "*.parquet"))))
+
+
+def read_tier(out_root: str, tier: str):
+    import ray.data as rd
+
+    ds = rd.read_parquet(sorted(glob.glob(os.path.join(out_root, f"tier={tier}", "*.parquet"))))
+    # Ray hive-infers a `tier` column from the `tier=X` dir name; drop it to
+    # keep the rolled-point schema canonical.
+    if "tier" in ds.schema().names:
+        ds = ds.drop_columns(["tier"])
+    return ds

@@ -1,0 +1,205 @@
+"""Tier rollup: the engine's shuffle heart (SURVEY.md §4.2).
+
+Physical plan per tier::
+
+    read_parquet(tokens)                                    # or prev tier
+      -> map_batches(bucketize_partials, pyarrow, zero_copy)  # stateless combine
+      -> groupby(source, bucket[, salt]).aggregate(merge)     # shuffle (small!)
+      [-> groupby(source, bucket).aggregate(merge)]           # unsalt (tiny)
+      -> map_batches(finalize)                                # mean/m2
+
+The per-batch combiner collapses every (source, bucket) group *inside* the
+batch to one partial row of exact integer moments (count/sum/sumsq/min/max)
+before any shuffle — so the all-to-all exchange moves O(sources x buckets)
+rows per batch, not O(tokens).  Integer moments are merge-order independent,
+which is how rolled points are bit-identical under any parallelism /
+cluster size (the north rule's correctness gate).
+
+Skew handling: ``source`` is Zipf-skewed by design.  The batch-level
+combine already bounds any one (source, bucket) group at the merge to
+<= #batches rows; for belt-and-braces at 100 TB (millions of batches), the
+``salt`` option splits hot groups into S sub-groups merged in a second,
+tiny groupby — classic two-phase salted aggregation.
+
+Thunder parity: this is ``aggregate_by_index`` (thunder/series/series.py:
+~880) with index level = time bucket, fused with the cross-record reduction
+of thunder/base.py:~270, re-expressed as Ray Data groupby-aggregate.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..schema import derive_mean_m2, t0_for_doc_ids
+from . import listkernels as lk
+
+# Partial/tier column order (TIER_SCHEMA + derived).
+PARTIAL_COLS = ["source", "bucket", "count", "sum", "sumsq", "min", "max"]
+
+
+def _partials_table(src_arr, bucket, cnt, s, q, mn, mx) -> pa.Table:
+    return pa.table(
+        {
+            "source": pa.array(src_arr, type=pa.string()),
+            "bucket": pa.array(bucket, type=pa.int64()),
+            "count": pa.array(cnt, type=pa.int64()),
+            "sum": pa.array(s, type=pa.int64()),
+            "sumsq": pa.array(q, type=pa.int64()),
+            "min": pa.array(mn.astype(np.int32), type=pa.int32()),
+            "max": pa.array(mx.astype(np.int32), type=pa.int32()),
+        }
+    )
+
+
+class BucketizePartials:
+    """map_batches callable: tokens batch -> per-(source,bucket) partial moments.
+
+    Stateless and vectorized: one lexsort + reduceat pass over the flattened
+    token values.  ``tier_seconds`` fixed at construction (callable-class so
+    Ray can also run it in an actor pool if desired; plain-function cheap
+    tasks by default).
+    """
+
+    def __init__(self, tier_seconds: int, t0_column: str | None = None, salt: int | None = None):
+        self.tier = int(tier_seconds)
+        self.t0_column = t0_column
+        self.salt = salt
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vals, offs = lk.list_parts(batch["tokens"])
+        base = lk._base_values(vals, offs)
+        lens = lk.lengths(offs)
+        if self.t0_column is not None and self.t0_column in batch.column_names:
+            t0 = batch[self.t0_column].to_numpy(zero_copy_only=False).astype(np.int64) % 86_400
+        else:
+            t0 = t0_for_doc_ids(batch["doc_id"].to_numpy(zero_copy_only=False))
+        pos = lk.positions(offs)
+        t = np.repeat(t0, lens) + pos
+        bucket = t // self.tier
+
+        # factorize source per row -> per position
+        src = batch["source"].to_numpy(zero_copy_only=False)
+        uniq_src, src_code = np.unique(src, return_inverse=True)
+        code_per_pos = np.repeat(src_code.astype(np.int64), lens)
+
+        # combined group key: source_code * 2^40 | bucket  (bucket < 2^40 for
+        # any tier >= 1s within ~34k years of epoch-relative seconds)
+        key = (code_per_pos << 40) | bucket
+        k, cnt, s, q, mn, mx = lk.seg_moments_by_key(base, offs - offs[0], key)
+        out_src = uniq_src[(k >> 40).astype(np.int64)]
+        out_bucket = (k & ((1 << 40) - 1)).astype(np.int64)
+        tbl = _partials_table(out_src, out_bucket, cnt, s, q, mn, mx)
+        if self.salt:
+            # deterministic salt: spread *batches* of the same group across
+            # S sub-groups; any stable per-batch value works — derive from
+            # the batch's first doc t0 + row count (content-stable).
+            sval = int((int(t0[0]) * 1_000_003 + len(batch)) % self.salt)
+            tbl = tbl.append_column("salt", pa.array(np.full(len(tbl), sval, dtype=np.int32)))
+        return tbl
+
+
+class RerollupPartials:
+    """Tier -> coarser tier partials: re-key bucket//factor + in-batch combine."""
+
+    def __init__(self, factor: int):
+        assert factor >= 1
+        self.factor = int(factor)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        src = batch["source"].to_numpy(zero_copy_only=False)
+        bucket = batch["bucket"].to_numpy(zero_copy_only=False) // self.factor
+        uniq_src, src_code = np.unique(src, return_inverse=True)
+        key = (src_code.astype(np.int64) << 40) | bucket
+        order = np.argsort(key, kind="stable")
+        k = key[order]
+        boundary = np.empty(len(k), dtype=bool)
+        if len(k):
+            boundary[0] = True
+            boundary[1:] = k[1:] != k[:-1]
+        starts = np.flatnonzero(boundary)
+
+        def red(col, ufunc, dtype=None):
+            v = batch[col].to_numpy(zero_copy_only=False)[order]
+            if dtype is not None:
+                v = v.astype(dtype)
+            return ufunc.reduceat(v, starts) if len(starts) else v[:0]
+
+        return _partials_table(
+            uniq_src[(k[starts] >> 40).astype(np.int64)],
+            (k[starts] & ((1 << 40) - 1)).astype(np.int64),
+            red("count", np.add, np.int64),
+            red("sum", np.add, np.int64),
+            red("sumsq", np.add, np.int64),
+            red("min", np.minimum),
+            red("max", np.maximum),
+        )
+
+
+def merge_partials(ds, salted: bool = False):
+    """Shuffle-merge partial moments: groupby(source,bucket[,salt]) with
+    order-independent integer aggregates, then (if salted) a second tiny
+    unsalting merge."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    def aggs():
+        return [
+            Sum("count", alias_name="count"),
+            Sum("sum", alias_name="sum"),
+            Sum("sumsq", alias_name="sumsq"),
+            Min("min", alias_name="min"),
+            Max("max", alias_name="max"),
+        ]
+
+    keys = ["source", "bucket", "salt"] if salted else ["source", "bucket"]
+    out = ds.groupby(keys).aggregate(*aggs())
+    if salted:
+        out = out.drop_columns(["salt"]).groupby(["source", "bucket"]).aggregate(*aggs())
+    return out
+
+
+def finalize_tier(batch: pa.Table) -> pa.Table:
+    """Attach the fixed-expression derived columns mean/m2 (schema.derive_mean_m2)
+    and normalize physical types to TIER_SCHEMA."""
+    cnt = batch["count"].to_numpy(zero_copy_only=False).astype(np.int64)
+    s = batch["sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+    q = batch["sumsq"].to_numpy(zero_copy_only=False).astype(np.int64)
+    mean, m2 = derive_mean_m2(cnt, s, q)
+    return pa.table(
+        {
+            "source": batch["source"].combine_chunks()
+            if isinstance(batch["source"], pa.ChunkedArray) else batch["source"],
+            "bucket": pa.array(batch["bucket"].to_numpy(zero_copy_only=False).astype(np.int64)),
+            "count": pa.array(cnt),
+            "sum": pa.array(s),
+            "sumsq": pa.array(q),
+            "min": pa.array(batch["min"].to_numpy(zero_copy_only=False).astype(np.int32)),
+            "max": pa.array(batch["max"].to_numpy(zero_copy_only=False).astype(np.int32)),
+            "mean": pa.array(mean),
+            "m2": pa.array(m2),
+        }
+    )
+
+
+def rollup_tokens(ds, tier_seconds: int, t0_column: str | None = None,
+                  salt: int | None = None, batch_size: int | None = 4096):
+    """tokens Dataset -> rolled tier Dataset (with sumsq; FIXTURES schema + sumsq)."""
+    partials = ds.map_batches(
+        BucketizePartials(tier_seconds, t0_column=t0_column, salt=salt),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+    )
+    merged = merge_partials(partials, salted=bool(salt))
+    return merged.map_batches(finalize_tier, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def rerollup(ds_tier, factor: int, batch_size: int | None = 8192):
+    """Rolled tier Dataset -> coarser tier (e.g. 1m -> 1h: factor=60)."""
+    cols = [c for c in PARTIAL_COLS]
+    partials = ds_tier.select_columns(cols).map_batches(
+        RerollupPartials(factor), batch_format="pyarrow",
+        zero_copy_batch=True, batch_size=batch_size,
+    )
+    merged = merge_partials(partials)
+    return merged.map_batches(finalize_tier, batch_format="pyarrow", zero_copy_batch=True)
