@@ -1,0 +1,603 @@
+"""Driver-contract queries: each Ray pipeline here has a DuckDB-oracle SQL
+twin in ``ORACLE_SQL`` evaluated over the same parquet tables.
+
+Float-exactness discipline (the reason results hash-match bit-for-bit):
+every float output column is derived from *exact integer moments* with ONE
+fixed IEEE expression, written identically in the numpy kernel and the SQL
+(e.g. ``mean = CAST(sum AS DOUBLE)/count``).  Raw doubles (events.value,
+embeddings) are first scaled to exact int64 via ``floor(x * 1e6)`` — the
+same two IEEE ops on both sides.  DuckDB's SUM(BIGINT) is HUGEINT, so every
+SQL aggregate is cast back to BIGINT; Ray-side ints are int64 throughout.
+
+Tokenizer parity: tokens = word lengths of ``documents.text.split(' ')``
+(sources/tokens.py) == ``list_transform(string_split(text,' '), w -> length(w))``.
+t0 parity: integer doc ids use ``doc_id % 86400`` on both sides.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+from ..schema import derive_mean_m2
+from ..sources.tokens import tokens_from_documents
+from ..stages import listkernels as lk
+from ..stages import rollup as ru
+
+SCALE = 1_000_000  # float -> exact int64 scaling used on both sides
+
+
+# ---------------------------------------------------------------------------
+# helpers
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _scaled_list(col):
+    """list<float> -> (int64 scaled values, offsets): floor(float64(x)*1e6)."""
+    vals, offs = lk.list_parts(col)
+    scaled = np.floor(vals.astype(np.float64) * SCALE).astype(np.int64)
+    return scaled, offs
+
+
+def _i64(arr) -> pa.Array:
+    return pa.array(np.asarray(arr, dtype=np.int64), type=pa.int64())
+
+
+# ---------------------------------------------------------------------------
+# Tier rollups over documents-derived tokens (the flagship; SURVEY.md §2.5-2.6)
+
+def rollup_documents(sf_dir: str, tier_seconds: int):
+    ds = tokens_from_documents(sf_dir)
+    out = ru.rollup_tokens(ds, tier_seconds, t0_column="doc_id_int")
+    return out.drop_columns(["sumsq"])
+
+
+def _rollup_sql(tier_seconds: int) -> str:
+    return f"""
+WITH tok AS (
+  SELECT doc_id, source,
+         list_transform(string_split(text, ' '), w -> length(w)) AS tokens
+  FROM documents
+),
+flat AS (
+  SELECT source,
+         (doc_id % 86400 + pos) // {tier_seconds} AS bucket,
+         CAST(v AS BIGINT) AS v
+  FROM (SELECT doc_id, source, unnest(tokens) AS v,
+               unnest(range(len(tokens))) AS pos FROM tok)
+)
+SELECT source, CAST(bucket AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS count,
+       CAST(SUM(v) AS BIGINT) AS sum,
+       CAST(MIN(v) AS INTEGER) AS min,
+       CAST(MAX(v) AS INTEGER) AS max,
+       CAST(SUM(v) AS DOUBLE) / COUNT(*) AS mean,
+       CAST(SUM(v*v) AS DOUBLE) - CAST(SUM(v) AS DOUBLE) * CAST(SUM(v) AS DOUBLE) / COUNT(*) AS m2
+FROM flat
+GROUP BY source, bucket
+"""
+
+
+# ---------------------------------------------------------------------------
+# Per-record stats over tokens (thunder series_stats, series.py:~540)
+
+def series_stats_tokens(sf_dir: str):
+    ds = tokens_from_documents(sf_dir)
+
+    def stats(batch: pa.Table) -> pa.Table:
+        vals, offs = lk.list_parts(batch["tokens"])
+        cnt = lk.lengths(offs).astype(np.int64)
+        s = lk.seg_sum(vals, offs)
+        q = lk.seg_sumsq(vals, offs)
+        mean, m2 = derive_mean_m2(cnt, s, q)
+        std = np.sqrt(m2 / cnt)
+        return pa.table({
+            "doc_id": _i64(batch["doc_id_int"].to_numpy(zero_copy_only=False)),
+            "count": _i64(cnt),
+            "sum": _i64(s),
+            "min": pa.array(lk.seg_min(vals, offs).astype(np.int32)),
+            "max": pa.array(lk.seg_max(vals, offs).astype(np.int32)),
+            "mean": pa.array(mean),
+            "std": pa.array(std),
+        })
+
+    return ds.map_batches(stats, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SERIES_STATS_TOKENS_SQL = """
+WITH tok AS (
+  SELECT doc_id, list_transform(string_split(text, ' '), w -> length(w)) AS tokens
+  FROM documents
+),
+flat AS (
+  SELECT doc_id, CAST(unnest(tokens) AS BIGINT) AS v FROM tok
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS count,
+       CAST(SUM(v) AS BIGINT) AS sum,
+       CAST(MIN(v) AS INTEGER) AS min,
+       CAST(MAX(v) AS INTEGER) AS max,
+       CAST(SUM(v) AS DOUBLE) / COUNT(*) AS mean,
+       sqrt((CAST(SUM(v*v) AS DOUBLE) - CAST(SUM(v) AS DOUBLE) * CAST(SUM(v) AS DOUBLE) / COUNT(*)) / COUNT(*)) AS std
+FROM flat GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Downsample / subsample / select / between over tokens (series.py:~230-620)
+
+def downsample_tokens(sf_dir: str, k: int = 4):
+    ds = tokens_from_documents(sf_dir)
+
+    def ds_batch(batch: pa.Table) -> pa.Table:
+        vals, offs = lk.list_parts(batch["tokens"])
+        doc = batch["doc_id_int"].to_numpy(zero_copy_only=False).astype(np.int64)
+        means, new_off = lk.seg_downsample(vals, offs, k)
+        nbins = np.diff(new_off)
+        bin_idx = lk.positions(new_off)
+        return pa.table({
+            "doc_id": _i64(np.repeat(doc, nbins)),
+            "bin": _i64(bin_idx),
+            "mean": pa.array(means),
+        })
+
+    return ds.map_batches(ds_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+DOWNSAMPLE_TOKENS_SQL = """
+WITH tok AS (
+  SELECT doc_id, list_transform(string_split(text, ' '), w -> length(w)) AS tokens
+  FROM documents
+),
+flat AS (
+  SELECT doc_id, pos, CAST(v AS BIGINT) AS v, len(tokens) AS n
+  FROM (SELECT doc_id, tokens, unnest(tokens) AS v,
+               unnest(range(len(tokens))) AS pos FROM tok)
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(pos // 4 AS BIGINT) AS bin,
+       CAST(SUM(v) AS DOUBLE) / 4 AS mean
+FROM flat WHERE pos < (n // 4) * 4
+GROUP BY doc_id, pos // 4
+"""
+
+
+def subsample_tokens(sf_dir: str, k: int = 3):
+    ds = tokens_from_documents(sf_dir)
+
+    def sub(batch: pa.Table) -> pa.Table:
+        vals, offs = lk.list_parts(batch["tokens"])
+        v, new_off = lk.seg_subsample(vals, offs, k)
+        rel = new_off
+        return pa.table({
+            "doc_id": _i64(batch["doc_id_int"].to_numpy(zero_copy_only=False)),
+            "n_sub": _i64(np.diff(rel)),
+            "sum_sub": _i64(lk.seg_sum(v.astype(np.int64), rel)),
+        })
+
+    return ds.map_batches(sub, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SUBSAMPLE_TOKENS_SQL = """
+WITH tok AS (
+  SELECT doc_id, list_transform(string_split(text, ' '), w -> length(w)) AS tokens
+  FROM documents
+),
+flat AS (
+  SELECT doc_id, pos, CAST(v AS BIGINT) AS v
+  FROM (SELECT doc_id, unnest(tokens) AS v, unnest(range(len(tokens))) AS pos FROM tok)
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_sub,
+       CAST(SUM(v) AS BIGINT) AS sum_sub
+FROM flat WHERE pos % 3 = 0 GROUP BY doc_id
+"""
+
+
+def between_tokens(sf_dir: str, left: int = 2, right: int = 9):
+    ds = tokens_from_documents(sf_dir)
+
+    def bet(batch: pa.Table) -> pa.Table:
+        vals, offs = lk.list_parts(batch["tokens"])
+        v, new_off = lk.seg_between(vals, offs, left, right)
+        return pa.table({
+            "doc_id": _i64(batch["doc_id_int"].to_numpy(zero_copy_only=False)),
+            "n_between": _i64(np.diff(new_off)),
+            "sum_between": _i64(lk.seg_sum(v.astype(np.int64), new_off)),
+        })
+
+    return ds.map_batches(bet, batch_format="pyarrow", zero_copy_batch=True)
+
+
+BETWEEN_TOKENS_SQL = """
+WITH tok AS (
+  SELECT doc_id, list_transform(string_split(text, ' '), w -> length(w)) AS tokens
+  FROM documents
+),
+flat AS (
+  SELECT doc_id, pos, CAST(v AS BIGINT) AS v
+  FROM (SELECT doc_id, unnest(tokens) AS v, unnest(range(len(tokens))) AS pos FROM tok)
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_between,
+       CAST(SUM(v) AS BIGINT) AS sum_between
+FROM flat WHERE pos BETWEEN 2 AND 9 GROUP BY doc_id
+"""
+
+
+def zscore_first_token(sf_dir: str):
+    """z-score of each doc's first token — exercises center/zscore kernels
+    with a scalar, hash-comparable output (fixed float expression)."""
+    ds = tokens_from_documents(sf_dir)
+
+    def z(batch: pa.Table) -> pa.Table:
+        vals, offs = lk.list_parts(batch["tokens"])
+        cnt = lk.lengths(offs).astype(np.int64)
+        s = lk.seg_sum(vals, offs)
+        q = lk.seg_sumsq(vals, offs)
+        mean, m2 = derive_mean_m2(cnt, s, q)
+        std = np.sqrt(m2 / cnt)
+        first = lk._base_values(vals, offs)[(offs[:-1] - offs[0])].astype(np.float64)
+        keep = m2 > 0
+        z0 = (first[keep] - mean[keep]) / std[keep]
+        return pa.table({
+            "doc_id": _i64(batch["doc_id_int"].to_numpy(zero_copy_only=False)[keep]),
+            "z0": pa.array(z0),
+        })
+
+    return ds.map_batches(z, batch_format="pyarrow", zero_copy_batch=True)
+
+
+ZSCORE_FIRST_SQL = """
+WITH tok AS (
+  SELECT doc_id, list_transform(string_split(text, ' '), w -> length(w)) AS tokens
+  FROM documents
+),
+flat AS (
+  SELECT doc_id, pos, CAST(v AS BIGINT) AS v
+  FROM (SELECT doc_id, unnest(tokens) AS v, unnest(range(len(tokens))) AS pos FROM tok)
+),
+m AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(v) AS BIGINT) AS s,
+         CAST(SUM(v*v) AS BIGINT) AS q,
+         CAST(MIN(CASE WHEN pos = 0 THEN v END) AS DOUBLE) AS first
+  FROM flat GROUP BY doc_id
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       (first - CAST(s AS DOUBLE) / n)
+         / sqrt((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / n) AS z0
+FROM m
+WHERE (CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) > 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# Embeddings: series stats / index-grouped / panel / cross-record (scaled ints)
+
+def series_stats_embeddings(sf_dir: str):
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def stats(batch: pa.Table) -> pa.Table:
+        v, offs = _scaled_list(batch["embedding"])
+        cnt = lk.lengths(offs).astype(np.int64)
+        s = lk.seg_sum(v, offs)
+        return pa.table({
+            "vec_id": _i64(batch["vec_id"].to_numpy(zero_copy_only=False)),
+            "count": _i64(cnt),
+            "sum_s": _i64(s),
+            "min_s": _i64(lk.seg_min(v, offs)),
+            "max_s": _i64(lk.seg_max(v, offs)),
+            "mean_s": pa.array(s.astype(np.float64) / cnt),
+        })
+
+    return ds.map_batches(stats, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SERIES_STATS_EMB_SQL = """
+WITH flat AS (
+  SELECT vec_id, CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS v
+  FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings)
+)
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(COUNT(*) AS BIGINT) AS count,
+       CAST(SUM(v) AS BIGINT) AS sum_s,
+       CAST(MIN(v) AS BIGINT) AS min_s,
+       CAST(MAX(v) AS BIGINT) AS max_s,
+       CAST(SUM(v) AS DOUBLE) / COUNT(*) AS mean_s
+FROM flat GROUP BY vec_id
+"""
+
+
+def stat_by_index_embeddings(sf_dir: str, levels: int = 4):
+    """thunder ``sum_by_index``/``count_by_index`` with a cyclic level index
+    (pos % levels) — FIXTURES.md multi-level fixture shape."""
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def by_idx(batch: pa.Table) -> pa.Table:
+        v, offs = _scaled_list(batch["embedding"])
+        rel = offs - offs[0]
+        pos = lk.positions(offs)
+        r, k, s = lk.seg_stat_by_key(v, rel, pos % levels, "sum")
+        _, _, c = lk.seg_stat_by_key(v, rel, pos % levels, "count")
+        vec = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "vec_id": _i64(vec[r]),
+            "idx": _i64(k),
+            "count": _i64(c),
+            "sum_s": _i64(s),
+        })
+
+    return ds.map_batches(by_idx, batch_format="pyarrow", zero_copy_batch=True)
+
+
+STAT_BY_INDEX_EMB_SQL = """
+WITH flat AS (
+  SELECT vec_id, pos % 4 AS idx,
+         CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS v
+  FROM (SELECT vec_id, unnest(embedding) AS x,
+               unnest(range(len(embedding))) AS pos FROM embeddings)
+)
+SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(idx AS BIGINT) AS idx,
+       CAST(COUNT(*) AS BIGINT) AS count,
+       CAST(SUM(v) AS BIGINT) AS sum_s
+FROM flat GROUP BY vec_id, idx
+"""
+
+
+def mean_by_panel_embeddings(sf_dir: str, length: int = 16):
+    """thunder ``mean_by_panel(length)`` (series.py:~810): cut each record
+    into consecutive panels of ``length``, average across panels per offset."""
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def panel(batch: pa.Table) -> pa.Table:
+        v, offs = _scaled_list(batch["embedding"])
+        rel = offs - offs[0]
+        lens = lk.lengths(offs)
+        if (lens % length).any():
+            raise ValueError("panel length must divide series length")
+        pos = lk.positions(offs)
+        r, k, s = lk.seg_stat_by_key(v, rel, pos % length, "sum")
+        _, _, c = lk.seg_stat_by_key(v, rel, pos % length, "count")
+        vec = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "vec_id": _i64(vec[r]),
+            "panel_offset": _i64(k),
+            "mean_s": pa.array(s.astype(np.float64) / c),
+        })
+
+    return ds.map_batches(panel, batch_format="pyarrow", zero_copy_batch=True)
+
+
+MEAN_BY_PANEL_EMB_SQL = """
+WITH flat AS (
+  SELECT vec_id, pos % 16 AS panel_offset,
+         CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS v
+  FROM (SELECT vec_id, unnest(embedding) AS x,
+               unnest(range(len(embedding))) AS pos FROM embeddings)
+)
+SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(panel_offset AS BIGINT) AS panel_offset,
+       CAST(SUM(v) AS DOUBLE) / COUNT(*) AS mean_s
+FROM flat GROUP BY vec_id, panel_offset
+"""
+
+
+def positionwise_mean_embeddings(sf_dir: str):
+    """Cross-record (axis-0) stats per position (thunder Data.mean/min/max,
+    base.py:~270) — per-batch partial moments, then a tiny groupby merge."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = _read(sf_dir, "embeddings", columns=["embedding"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        v, offs = _scaled_list(batch["embedding"])
+        rel = offs - offs[0]
+        pos = lk.positions(offs)
+        k, cnt, s, q, mn, mx = lk.seg_moments_by_key(v, rel, pos)
+        return pa.table({
+            "pos": _i64(k), "count": _i64(cnt), "sum_s": _i64(s),
+            "min_s": _i64(mn), "max_s": _i64(mx),
+        })
+
+    merged = ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True).groupby(
+        "pos"
+    ).aggregate(
+        Sum("count", alias_name="count"),
+        Sum("sum_s", alias_name="sum_s"),
+        Min("min_s", alias_name="min_s"),
+        Max("max_s", alias_name="max_s"),
+    )
+
+    def fin(batch: pa.Table) -> pa.Table:
+        cnt = batch["count"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = batch["sum_s"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "pos": _i64(batch["pos"].to_numpy(zero_copy_only=False)),
+            "count": _i64(cnt), "sum_s": _i64(s),
+            "min_s": _i64(batch["min_s"].to_numpy(zero_copy_only=False)),
+            "max_s": _i64(batch["max_s"].to_numpy(zero_copy_only=False)),
+            "mean_s": pa.array(s.astype(np.float64) / cnt),
+        })
+
+    return merged.map_batches(fin, batch_format="pyarrow", zero_copy_batch=True)
+
+
+POSITIONWISE_MEAN_EMB_SQL = """
+WITH flat AS (
+  SELECT pos, CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS v
+  FROM (SELECT unnest(embedding) AS x,
+               unnest(range(len(embedding))) AS pos FROM embeddings)
+)
+SELECT CAST(pos AS BIGINT) AS pos,
+       CAST(COUNT(*) AS BIGINT) AS count,
+       CAST(SUM(v) AS BIGINT) AS sum_s,
+       CAST(MIN(v) AS BIGINT) AS min_s,
+       CAST(MAX(v) AS BIGINT) AS max_s,
+       CAST(SUM(v) AS DOUBLE) / COUNT(*) AS mean_s
+FROM flat GROUP BY pos
+"""
+
+
+# ---------------------------------------------------------------------------
+# Events rollup (natural time-series oracle: real timestamps, skewed types)
+
+def rollup_events_1h(sf_dir: str):
+    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        ts_us = batch["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        bucket = ts_us // 1_000_000 // 3600
+        v = np.floor(batch["value"].to_numpy(zero_copy_only=False) * SCALE).astype(np.int64)
+        src = batch["event_type"].to_numpy(zero_copy_only=False)
+        uniq, code = np.unique(src, return_inverse=True)
+        key = (code.astype(np.int64) << 40) | (bucket & ((1 << 40) - 1))
+        offs = np.array([0, len(v)], dtype=np.int64)
+        k, cnt, s, q, mn, mx = lk.seg_moments_by_key(v, offs, key)
+        return pa.table({
+            "event_type": pa.array(uniq[(k >> 40).astype(np.int64)]),
+            "bucket": _i64(k & ((1 << 40) - 1)),
+            "count": _i64(cnt), "sum_s": _i64(s),
+            "min_s": _i64(mn), "max_s": _i64(mx),
+        })
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    merged = ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True).groupby(
+        ["event_type", "bucket"]
+    ).aggregate(
+        Sum("count", alias_name="count"),
+        Sum("sum_s", alias_name="sum_s"),
+        Min("min_s", alias_name="min_s"),
+        Max("max_s", alias_name="max_s"),
+    )
+
+    def fin(batch: pa.Table) -> pa.Table:
+        cnt = batch["count"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = batch["sum_s"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "event_type": batch["event_type"].combine_chunks()
+            if isinstance(batch["event_type"], pa.ChunkedArray) else batch["event_type"],
+            "bucket": _i64(batch["bucket"].to_numpy(zero_copy_only=False)),
+            "count": _i64(cnt), "sum_s": _i64(s),
+            "min_s": _i64(batch["min_s"].to_numpy(zero_copy_only=False)),
+            "max_s": _i64(batch["max_s"].to_numpy(zero_copy_only=False)),
+            "mean_s": pa.array(s.astype(np.float64) / cnt),
+        })
+
+    return merged.map_batches(fin, batch_format="pyarrow", zero_copy_batch=True)
+
+
+ROLLUP_EVENTS_1H_SQL = """
+WITH flat AS (
+  SELECT event_type,
+         (epoch_us(ts) // 1000000) // 3600 AS bucket,
+         CAST(floor(value * 1000000) AS BIGINT) AS v
+  FROM events
+)
+SELECT event_type, CAST(bucket AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS count,
+       CAST(SUM(v) AS BIGINT) AS sum_s,
+       CAST(MIN(v) AS BIGINT) AS min_s,
+       CAST(MAX(v) AS BIGINT) AS max_s,
+       CAST(SUM(v) AS DOUBLE) / COUNT(*) AS mean_s
+FROM flat GROUP BY event_type, bucket
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text pipeline ops over documents
+
+def dedup_exact_documents(sf_dir: str):
+    """Exact dedup: content hash -> keep min doc_id per hash (ray_guide
+    'Exact dedup' pattern; hash in map_batches, tiny groupby merge)."""
+    from ray.data.aggregate import Min
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def h(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        hashes = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts]
+        return pa.table({
+            "text_hash": pa.array(hashes),
+            "doc_id": _i64(batch["doc_id"].to_numpy(zero_copy_only=False)),
+        })
+
+    return ds.map_batches(h, batch_format="pyarrow").groupby("text_hash").aggregate(
+        Min("doc_id", alias_name="doc_id")
+    )
+
+
+DEDUP_EXACT_SQL = """
+SELECT md5(text) AS text_hash, CAST(MIN(doc_id) AS BIGINT) AS doc_id
+FROM documents GROUP BY md5(text)
+"""
+
+
+def token_count_documents(sf_dir: str):
+    """Whitespace token counting (training-data pipeline op)."""
+    ds = tokens_from_documents(sf_dir)
+
+    def cnt(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": _i64(batch["doc_id_int"].to_numpy(zero_copy_only=False)),
+            "n_ws_tokens": _i64(batch["n_tok"].to_numpy(zero_copy_only=False)),
+        })
+
+    return ds.map_batches(cnt, batch_format="pyarrow", zero_copy_batch=True)
+
+
+TOKEN_COUNT_SQL = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Registry
+
+def build_queries() -> dict:
+    return {
+        "rollup_1m": lambda sf: rollup_documents(sf, 60),
+        "rollup_1h": lambda sf: rollup_documents(sf, 3600),
+        "rollup_1d": lambda sf: rollup_documents(sf, 86400),
+        "series_stats_tokens": series_stats_tokens,
+        "downsample_tokens": downsample_tokens,
+        "subsample_tokens": subsample_tokens,
+        "between_tokens": between_tokens,
+        "zscore_first_token": zscore_first_token,
+        "series_stats_embeddings": series_stats_embeddings,
+        "stat_by_index_embeddings": stat_by_index_embeddings,
+        "mean_by_panel_embeddings": mean_by_panel_embeddings,
+        "positionwise_mean_embeddings": positionwise_mean_embeddings,
+        "rollup_events_1h": rollup_events_1h,
+        "dedup_exact_documents": dedup_exact_documents,
+        "token_count_documents": token_count_documents,
+    }
+
+
+def build_oracle_sql() -> dict:
+    return {
+        "rollup_1m": _rollup_sql(60),
+        "rollup_1h": _rollup_sql(3600),
+        "rollup_1d": _rollup_sql(86400),
+        "series_stats_tokens": SERIES_STATS_TOKENS_SQL,
+        "downsample_tokens": DOWNSAMPLE_TOKENS_SQL,
+        "subsample_tokens": SUBSAMPLE_TOKENS_SQL,
+        "between_tokens": BETWEEN_TOKENS_SQL,
+        "zscore_first_token": ZSCORE_FIRST_SQL,
+        "series_stats_embeddings": SERIES_STATS_EMB_SQL,
+        "stat_by_index_embeddings": STAT_BY_INDEX_EMB_SQL,
+        "mean_by_panel_embeddings": MEAN_BY_PANEL_EMB_SQL,
+        "positionwise_mean_embeddings": POSITIONWISE_MEAN_EMB_SQL,
+        "rollup_events_1h": ROLLUP_EVENTS_1H_SQL,
+        "dedup_exact_documents": DEDUP_EXACT_SQL,
+        "token_count_documents": TOKEN_COUNT_SQL,
+    }
