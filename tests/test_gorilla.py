@@ -1,0 +1,89 @@
+"""Gorilla codec: encode->decode identity (paper edge cases) + tier stage."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from thunder_ray.functions import gorilla
+
+
+@pytest.mark.parametrize("arr", [
+    np.array([], dtype=np.int64),
+    np.array([42], dtype=np.int64),
+    np.array([42, 42], dtype=np.int64),
+    np.array([5, 5, 5, 5, 5], dtype=np.int64),               # all-equal: dod zero-run
+    np.arange(1000, dtype=np.int64) * 60,                     # regular timestamps
+    np.array([0, 60, 120, 121, 300, -50, 2**40, -2**40]),     # wild jumps (64-bit class)
+    np.array([0, 1, 3, 6, 10, 15, 80, 145, 400, 900, 3000]),  # every prefix class
+])
+def test_dod_roundtrip(arr):
+    blob = gorilla.encode_dod(arr)
+    out = gorilla.decode_dod(blob, len(arr))
+    np.testing.assert_array_equal(out, arr)
+
+
+def test_dod_random_roundtrip():
+    rng = np.random.default_rng(42)
+    arr = np.cumsum(rng.integers(-5000, 5000, size=5000)).astype(np.int64)
+    out = gorilla.decode_dod(gorilla.encode_dod(arr), len(arr))
+    np.testing.assert_array_equal(out, arr)
+
+
+def test_dod_compresses_regular_series():
+    ts = np.arange(10_000, dtype=np.int64) * 60
+    blob = gorilla.encode_dod(ts)
+    # constant delta => ~1 bit/point after the header
+    assert len(blob) < 10_000 / 8 + 20
+
+
+@pytest.mark.parametrize("arr", [
+    np.array([], dtype=np.float64),
+    np.array([3.14]),
+    np.array([7.0, 7.0, 7.0]),                                # zero-xor run
+    np.array([1.5, 1.5000001, -2.75, 0.0, np.inf, -np.inf]),
+    np.array([0.0, -0.0, 1e-300, 1e300]),
+])
+def test_xor_roundtrip(arr):
+    out = gorilla.decode_xor(gorilla.encode_xor(arr), len(arr))
+    np.testing.assert_array_equal(out.view(np.uint64), arr.view(np.uint64))
+
+
+def test_xor_nan_roundtrip():
+    arr = np.array([1.0, np.nan, 2.0])
+    out = gorilla.decode_xor(gorilla.encode_xor(arr), len(arr))
+    assert out.view(np.uint64).tolist() == arr.view(np.uint64).tolist()
+
+
+def test_xor_random_roundtrip():
+    rng = np.random.default_rng(7)
+    arr = rng.standard_normal(3000).cumsum()
+    out = gorilla.decode_xor(gorilla.encode_xor(arr), len(arr))
+    assert out.tobytes() == arr.tobytes()
+
+
+def test_tier_encode_decode_identity(ray_session, tokens_table):
+    import ray.data as rd
+
+    from thunder_ray.stages import codec
+    from thunder_ray.stages import rollup as ru
+
+    tier = ru.rollup_tokens(rd.from_arrow(tokens_table).repartition(4), 60, batch_size=16)
+    want = tier.to_pandas().sort_values(["source", "bucket"]).reset_index(drop=True)
+
+    blobs = codec.encode_tier(tier, max_points=64)  # small chunks to test chunking
+    blob_df = blobs.to_pandas()
+    assert blob_df["n_points"].sum() == len(want)
+    assert (blob_df["chunk"] > 0).any()  # chunking exercised
+
+    got = codec.decode_tier(codec.encode_tier(tier, max_points=64)).to_pandas()
+    got = got.sort_values(["source", "bucket"]).reset_index(drop=True)
+    for c in ["source", "bucket", "count", "sum", "sumsq", "min", "max"]:
+        np.testing.assert_array_equal(got[c].to_numpy(), want[c].to_numpy(), err_msg=c)
+    for c in ["mean", "m2"]:
+        assert got[c].to_numpy().tobytes() == want[c].to_numpy().tobytes()
+
+    # compression: blobs materially smaller than raw 8B/col/point
+    raw_bytes = len(want) * 8 * 8
+    enc_bytes = sum(len(b) for col in codec.INT_COLS + codec.FLOAT_COLS
+                    for b in blob_df[f"{col}_blob"])
+    assert enc_bytes < raw_bytes

@@ -1,0 +1,241 @@
+"""Gorilla time-series compression (Pelkonen et al., "Gorilla: A Fast,
+Scalable, In-Memory Time Series Database", VLDB 2015 — public knowledge;
+implemented from the paper, no reference code).
+
+Two codecs over numpy arrays:
+
+* **delta-of-delta** for integer streams (timestamps / counts / sums):
+  header = first value (64b raw) + first delta (64b raw); each subsequent
+  delta-of-delta encoded with the paper's prefix classes::
+
+      dod == 0              -> '0'
+      -63   <= dod <= 64    -> '10'    + 7  bits (dod + 63)
+      -255  <= dod <= 256   -> '110'   + 9  bits (dod + 255)
+      -2047 <= dod <= 2048  -> '1110'  + 12 bits (dod + 2047)
+      else                  -> '11110' + 64 bits raw (two's complement)
+
+  (The paper's final class is 32-bit; we widen to 64 so arbitrary int64
+  streams — sums, not just timestamps — are losslessly encodable.)
+
+* **XOR** for float64 streams (means/m2): header = first value (64b raw);
+  each subsequent value XORed with its predecessor::
+
+      xor == 0 -> '0'
+      else     -> '1' + 5 bits leading-zero count (clamped 31)
+                      + 6 bits meaningful-bit count
+                      + the meaningful bits
+
+  We always emit the explicit-window form (the paper's '11' control path
+  collapsed to one bit) and never the reuse-previous-window '10' path —
+  that path's state is inherently sequential and would serialize the
+  encoder; dropping it costs a little compression but keeps the encoder
+  fully vectorized (classification + bit-packing are pure numpy array ops).
+
+ENCODE is vectorized (the write path — the 100 TB hot side).  DECODE is a
+straightforward sequential bit reader over a Python int (the read path
+decodes one bounded per-(source,tier) blob at a time inside an actor).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_M64 = (1 << 64) - 1
+
+
+# ---------------------------------------------------------------------------
+# vectorized bit packing
+
+def pack_bits(codes: np.ndarray, nbits: np.ndarray) -> bytes:
+    """Pack ``codes[i]``'s low ``nbits[i]`` bits (MSB-first) into a byte
+    stream.  Fully vectorized: expands to a bit array then ``np.packbits``.
+    """
+    codes = codes.astype(np.uint64)
+    nbits = nbits.astype(np.int64)
+    total = int(nbits.sum())
+    if total == 0:
+        return b""
+    ends = np.cumsum(nbits)
+    starts = ends - nbits
+    bitidx = np.arange(total, dtype=np.int64)
+    elem = np.searchsorted(ends, bitidx, side="right")
+    shift = (nbits[elem] - 1 - (bitidx - starts[elem])).astype(np.uint64)
+    bits = ((codes[elem] >> shift) & np.uint64(1)).astype(np.uint8)
+    return np.packbits(bits).tobytes()
+
+
+class _BitReader:
+    """Sequential MSB-first reader (decode path)."""
+
+    def __init__(self, data: bytes):
+        self.val = int.from_bytes(data, "big")
+        self.nbits = len(data) * 8
+        self.pos = 0
+
+    def read(self, n: int) -> int:
+        out = (self.val >> (self.nbits - self.pos - n)) & ((1 << n) - 1)
+        self.pos += n
+        return out
+
+
+def _bitlen_u64(x: np.ndarray) -> np.ndarray:
+    """bit_length of uint64 values (0 -> 0), exact via 32-bit halves."""
+    x = x.astype(np.uint64)
+    hi = (x >> np.uint64(32)).astype(np.float64)
+    lo = (x & np.uint64(0xFFFFFFFF)).astype(np.float64)
+    with np.errstate(divide="ignore"):
+        bl_hi = np.where(hi > 0, np.floor(np.log2(np.maximum(hi, 1))) + 1, 0)
+        bl_lo = np.where(lo > 0, np.floor(np.log2(np.maximum(lo, 1))) + 1, 0)
+    return np.where(hi > 0, bl_hi + 32, bl_lo).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# delta-of-delta integers
+
+def encode_dod(values: np.ndarray) -> bytes:
+    """Encode an int64 array; empty arrays encode to b''."""
+    v = np.asarray(values, dtype=np.int64)
+    n = len(v)
+    header_codes = []
+    header_bits = []
+    if n == 0:
+        return b""
+    header_codes.append(np.uint64(int(v[0]) & _M64))
+    header_bits.append(64)
+    if n >= 2:
+        d0 = int(v[1]) - int(v[0])
+        header_codes.append(np.uint64(d0 & _M64))
+        header_bits.append(64)
+    if n <= 2:
+        return pack_bits(np.array(header_codes, dtype=np.uint64),
+                         np.array(header_bits, dtype=np.int64))
+
+    deltas = v[1:] - v[:-1]
+    dod = (deltas[1:] - deltas[:-1]).astype(np.int64)
+
+    c0 = dod == 0
+    c1 = (~c0) & (dod >= -63) & (dod <= 64)
+    c2 = (~c0) & (~c1) & (dod >= -255) & (dod <= 256)
+    c3 = (~c0) & (~c1) & (~c2) & (dod >= -2047) & (dod <= 2048)
+    c4 = ~(c0 | c1 | c2 | c3)
+
+    m = len(dod)
+    # up to two (code,nbits) slots per dod (class 4 = prefix slot + payload slot)
+    codes = np.zeros((m, 2), dtype=np.uint64)
+    nbits = np.zeros((m, 2), dtype=np.int64)
+    codes[c0, 0] = 0
+    nbits[c0, 0] = 1
+    codes[c1, 0] = (np.uint64(0b10) << np.uint64(7)) | (dod[c1] + 63).astype(np.uint64)
+    nbits[c1, 0] = 9
+    codes[c2, 0] = (np.uint64(0b110) << np.uint64(9)) | (dod[c2] + 255).astype(np.uint64)
+    nbits[c2, 0] = 12
+    codes[c3, 0] = (np.uint64(0b1110) << np.uint64(12)) | (dod[c3] + 2047).astype(np.uint64)
+    nbits[c3, 0] = 16
+    codes[c4, 0] = np.uint64(0b11110)
+    nbits[c4, 0] = 5
+    codes[c4, 1] = dod[c4].astype(np.int64).view(np.uint64)  # two's complement
+    nbits[c4, 1] = 64
+
+    flat_codes = np.concatenate([np.array(header_codes, dtype=np.uint64), codes.ravel()])
+    flat_bits = np.concatenate([np.array(header_bits, dtype=np.int64), nbits.ravel()])
+    keep = flat_bits > 0
+    return pack_bits(flat_codes[keep], flat_bits[keep])
+
+
+def decode_dod(data: bytes, n: int) -> np.ndarray:
+    """Decode ``n`` int64 values."""
+    out = np.empty(n, dtype=np.int64)
+    if n == 0:
+        return out
+    r = _BitReader(data)
+
+    def s64(x):
+        return x - (1 << 64) if x >= (1 << 63) else x
+
+    out[0] = s64(r.read(64))
+    if n == 1:
+        return out
+    delta = s64(r.read(64))
+    out[1] = out[0] + delta
+    for i in range(2, n):
+        if r.read(1) == 0:
+            dod = 0
+        elif r.read(1) == 0:
+            dod = r.read(7) - 63
+        elif r.read(1) == 0:
+            dod = r.read(9) - 255
+        elif r.read(1) == 0:
+            dod = r.read(12) - 2047
+        else:
+            r.read(1)  # consume the 5th prefix bit ('11110')
+            raw = r.read(64)
+            dod = raw - (1 << 64) if raw >= (1 << 63) else raw
+        delta += dod
+        out[i] = out[i - 1] + delta
+    return out
+
+
+# ---------------------------------------------------------------------------
+# XOR floats
+
+def encode_xor(values: np.ndarray) -> bytes:
+    v = np.asarray(values, dtype=np.float64)
+    n = len(v)
+    if n == 0:
+        return b""
+    bits = v.view(np.uint64)
+    if n == 1:
+        return pack_bits(bits[:1], np.array([64]))
+    xor = bits[1:] ^ bits[:-1]
+
+    nz = xor != 0
+    bl = _bitlen_u64(xor)
+    lead = np.where(nz, 64 - bl, 0).astype(np.int64)
+    lead = np.minimum(lead, 31)
+    low = (xor & (~xor + np.uint64(1)))  # lowest set bit
+    trail = np.where(nz, _bitlen_u64(low) - 1, 0).astype(np.int64)
+    mean_bits = np.where(nz, 64 - lead - trail, 0).astype(np.int64)
+    payload = np.where(nz, xor >> trail.astype(np.uint64), np.uint64(0))
+
+    m = len(xor)
+    codes = np.zeros((m, 2), dtype=np.uint64)
+    nbits = np.zeros((m, 2), dtype=np.int64)
+    # zero-xor: single '0' bit
+    codes[~nz, 0] = 0
+    nbits[~nz, 0] = 1
+    # nonzero: '1' + 5b lead + 6b meaningful-count, then payload slot
+    codes[nz, 0] = (
+        (np.uint64(1) << np.uint64(11))
+        | (lead[nz].astype(np.uint64) << np.uint64(6))
+        | (mean_bits[nz] & 63).astype(np.uint64)  # 64 encodes as 0
+    )
+    nbits[nz, 0] = 12
+    codes[nz, 1] = payload[nz]
+    nbits[nz, 1] = mean_bits[nz]
+
+    flat_codes = np.concatenate([bits[:1], codes.ravel()])
+    flat_bits = np.concatenate([np.array([64], dtype=np.int64), nbits.ravel()])
+    keep = flat_bits > 0
+    return pack_bits(flat_codes[keep], flat_bits[keep])
+
+
+def decode_xor(data: bytes, n: int) -> np.ndarray:
+    out = np.empty(n, dtype=np.uint64)
+    if n == 0:
+        return out.view(np.float64)
+    r = _BitReader(data)
+    prev = r.read(64)
+    out[0] = prev
+    for i in range(1, n):
+        if r.read(1) == 0:
+            out[i] = prev
+            continue
+        lead = r.read(5)
+        mb = r.read(6)
+        if mb == 0:
+            mb = 64
+        payload = r.read(mb)
+        trail = 64 - lead - mb
+        prev = prev ^ (payload << trail)
+        out[i] = prev
+    return out.view(np.float64)
