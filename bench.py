@@ -1,0 +1,220 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract + scaling evidence).
+
+Default mode: one fresh Ray session (``address="local"``,
+``num_cpus=$RAY_GRAFT_CPUS`` or 32), then
+
+  1. the HEADLINE pipeline — raw tokens -> 1m -> 1h -> 1d tier rollup over a
+     deterministic synthetic tokens table (schema = BASELINE.json input_hint,
+     generated once under /tmp and reused), reporting rolled-up points/sec;
+  2. every ``queries()`` entry over ``$GRAFT_SF_DIR`` (default
+     /root/testdata/sf0.1), each timed to full materialization.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec}, "sf": ..., "num_cpus": N,
+   "headline": {...points/sec detail...}}
+
+``--scaling``: runs the headline pipeline in TWO FRESH PROCESSES at
+num_cpus=N and 4N (default 8 and 32) on the SAME input and reports both
+throughputs + scaling efficiency ``eff = (thr_4N / thr_N) / 4`` (the
+sandbox substitute for the north rule's N vs 4N-node criterion,
+SURVEY.md §4.3); also refreshes the scaling table in BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+DEFAULT_SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DEFAULT_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+HEADLINE_ROWS = int(os.environ.get("GRAFT_BENCH_ROWS", "200000"))
+# --scaling uses a larger input so per-task compute dominates fixed costs
+# (SURVEY.md §4.3: "keep per-task work large enough").
+SCALING_ROWS = int(os.environ.get("GRAFT_SCALING_ROWS", "2000000"))
+BENCH_TMP = "/tmp/thunder_ray_bench"
+
+
+def _init_ray(num_cpus: int):
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+                 log_to_driver=False)
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+
+def _headline_input(rows: int) -> str:
+    """Deterministic synthetic tokens parquet, generated once and reused."""
+    from thunder_ray.synth import write_tokens_parquet
+
+    path = os.path.join(BENCH_TMP, f"tokens_{rows}")
+    return write_tokens_parquet(path, rows)
+
+
+def _warmup(num_cpus: int):
+    """Spawn the worker pool before timing (cluster startup is not throughput)."""
+    import ray.data as rd
+
+    rd.range(num_cpus * 4, override_num_blocks=num_cpus * 4).map_batches(
+        lambda b: b, batch_format="pyarrow"
+    ).materialize()
+
+
+def run_headline(rows: int, num_cpus: int) -> dict:
+    """raw -> 1m -> 1h -> 1d over the synthetic table (fused streaming path)."""
+    from thunder_ray.pipelines.tiers import rollup_streaming
+
+    inp = _headline_input(rows)
+    out_root = os.path.join(BENCH_TMP, f"out_{os.getpid()}")
+    if os.path.exists(out_root):
+        shutil.rmtree(out_root)
+    _warmup(num_cpus)
+    t0 = time.perf_counter()
+    metrics = rollup_streaming(inp, out_root, t0_column=None)
+    wall = time.perf_counter() - t0
+    shutil.rmtree(out_root, ignore_errors=True)
+    points = sum(v for k, v in metrics.items() if k.startswith("points_"))
+    return {
+        "rows": rows,
+        "wall_sec": round(wall, 3),
+        "rolled_points": points,
+        "points_per_sec": round(points / wall, 1),
+        "tiers": {k: v for k, v in metrics.items() if k.startswith("points_")},
+    }
+
+
+def _consume(res) -> int:
+    """Force full execution of a query result; return its row count."""
+    import ray.data
+
+    if isinstance(res, ray.data.Dataset):
+        return res.materialize().count()
+    return len(res)
+
+
+def run_queries(sf_dir: str) -> tuple[dict, dict]:
+    from thunder_ray.pipelines.queries import build_queries
+
+    times, rows = {}, {}
+    for name, fn in build_queries().items():
+        t0 = time.perf_counter()
+        rows[name] = _consume(fn(sf_dir))
+        times[name] = round(time.perf_counter() - t0, 3)
+    return times, rows
+
+
+def main_default(num_cpus: int, sf_dir: str, sf_label) -> dict:
+    _init_ray(num_cpus)
+    headline = run_headline(HEADLINE_ROWS, num_cpus)
+    qtimes, qrows = run_queries(sf_dir)
+    total = round(headline["wall_sec"] + sum(qtimes.values()), 3)
+    return {
+        "metric": "rolled-up points/sec across raw->1m->1h->1d tiers + query suite wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": sf_label,
+        "num_cpus": num_cpus,
+        "headline": headline,
+        "query_rows": qrows,
+    }
+
+
+def main_child(num_cpus: int, rows: int) -> dict:
+    """Headline only, fresh session — used by --scaling via subprocess."""
+    _init_ray(num_cpus)
+    return {"num_cpus": num_cpus, **run_headline(rows, num_cpus)}
+
+
+def _spawn_headline(num_cpus: int, rows: int) -> dict:
+    env = dict(os.environ)
+    env["RAY_GRAFT_CPUS"] = str(num_cpus)
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--child-headline",
+         "--num-cpus", str(num_cpus), "--rows", str(rows)],
+        capture_output=True, text=True, env=env, check=True,
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main_scaling(n: int) -> dict:
+    # Generate the shared input once (driver-side, no Ray needed).
+    _headline_input(SCALING_ROWS)
+    lo = _spawn_headline(n, SCALING_ROWS)
+    hi = _spawn_headline(4 * n, SCALING_ROWS)
+    eff = (hi["points_per_sec"] / lo["points_per_sec"]) / 4.0
+    result = {
+        "metric": "scaling efficiency (points/sec at 4N cpus vs N cpus) / 4",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "sf": f"synthetic rows={SCALING_ROWS}",
+        "num_cpus": [n, 4 * n],
+        "low": lo,
+        "high": hi,
+    }
+    _update_baseline_md(result)
+    return result
+
+
+def _update_baseline_md(result: dict):
+    """Refresh the scaling-evidence section in BASELINE.md (idempotent)."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE.md")
+    marker = "## Scaling evidence (bench.py --scaling)"
+    lo, hi = result["low"], result["high"]
+    section = (
+        f"{marker}\n\n"
+        f"Same synthetic input ({lo['rows']} docs, ~{lo['rolled_points']} rolled points across "
+        f"1m/1h/1d tiers), two fresh `ray.init(address=\"local\")` processes:\n\n"
+        f"| num_cpus | wall (s) | rolled points/sec |\n|---|---|---|\n"
+        f"| {lo['num_cpus']} | {lo['wall_sec']} | {lo['points_per_sec']} |\n"
+        f"| {hi['num_cpus']} | {hi['wall_sec']} | {hi['points_per_sec']} |\n\n"
+        f"**Scaling efficiency (thr_4N / thr_N) / 4 = {result['value']}** "
+        f"(north-rule target >= 0.8).\n"
+    )
+    try:
+        text = open(path).read()
+    except FileNotFoundError:
+        text = ""
+    if marker in text:
+        text = text[: text.index(marker)] + section
+    else:
+        text = text.rstrip() + "\n\n" + section
+    with open(path, "w") as f:
+        f.write(text)
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--child-headline", action="store_true")
+    ap.add_argument("--num-cpus", type=int, default=DEFAULT_CPUS)
+    ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    ap.add_argument("--rows", type=int, default=HEADLINE_ROWS)
+    args = ap.parse_args()
+
+    sf_label = os.path.basename(args.sf_dir.rstrip("/")).replace("sf", "") or args.sf_dir
+
+    if args.child_headline:
+        payload = main_child(args.num_cpus, args.rows)
+    elif args.scaling:
+        payload = main_scaling(max(1, args.num_cpus // 4))
+    else:
+        payload = main_default(args.num_cpus, args.sf_dir, sf_label)
+
+    print(json.dumps(payload))
+
+    import ray
+
+    if ray.is_initialized():
+        ray.shutdown()

@@ -87,7 +87,7 @@ def run_rollup(
     tiers: tuple = ("1m", "1h", "1d"),
     t0_column: str | None = None,
     files_per_shard: int = 4,
-    batch_size: int | None = 4096,
+    batch_size: int | None = None,
     resume: bool = True,
     fail_after_shards: int | None = None,
 ) -> dict:
@@ -152,6 +152,44 @@ def run_rollup(
         prev = tier
 
     _write_manifest(os.path.join(out_root, "_manifest", "summary.json"), metrics)
+    return metrics
+
+
+def rollup_streaming(input_path: str, out_root: str | None = None,
+                     t0_column: str | None = None,
+                     batch_size: int | None = None) -> dict:
+    """Fused, non-checkpointed tier chain: ONE streaming pipeline raw->1m,
+    then in-memory re-rollups 1m->1h->1d (tier outputs are orders of
+    magnitude smaller than raw, so materializing them is safe at any scale).
+
+    This is the throughput path (bench headline): no per-shard partial
+    parquet round-trips — fault tolerance comes from Ray's task retries
+    instead of shard manifests.  Use :func:`run_rollup` when you need
+    mid-job resumability on preemptible clusters.
+
+    Returns ``{"points_1m": .., "points_1h": .., "points_1d": ..}``.
+    """
+    from ..sources.tokens import read_tokens
+
+    cols = ["doc_id", "tokens", "source"] + ([t0_column] if t0_column else [])
+    if os.path.isdir(input_path):
+        paths = sorted(glob.glob(os.path.join(input_path, "*.parquet")))
+    else:
+        paths = [input_path]
+    ds = read_tokens(paths, columns=cols)
+    tiers_out = {}
+    cur = ru.rollup_tokens(ds, TIERS["1m"], t0_column=t0_column,
+                           batch_size=batch_size).materialize()
+    tiers_out["1m"] = cur
+    prev = "1m"
+    for tier in ("1h", "1d"):
+        cur = ru.rerollup(cur, TIERS[tier] // TIERS[prev]).materialize()
+        tiers_out[tier] = cur
+        prev = tier
+    metrics = {f"points_{t}": d.count() for t, d in tiers_out.items()}
+    if out_root:
+        for t, d in tiers_out.items():
+            _atomic_write_dir(d, os.path.join(out_root, f"tier={t}"))
     return metrics
 
 

