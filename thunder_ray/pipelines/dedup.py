@@ -1,0 +1,389 @@
+"""Deduplication pipelines over ``documents`` (engine additions; thunder has
+no dedup — SURVEY.md §2.6 'absent in thunder' row):
+
+- exact dedup (content hash -> min doc_id) lives in queries.py
+- n-gram Jaccard ALL-PAIRS (exact, broadcast set-compare)  -> SQL twin
+- MinHash + LSH banding (the 100 TB scale path)            -> rows-only
+- SimHash (64-bit, hamming-distance near-dup)              -> rows-only
+- embedding-cosine near-dup (exact scaled-int dot)         -> SQL twin
+
+Scale notes: the exact all-pairs variants are O(n^2)-verify oracles used at
+test scale; at 100 TB only the LSH paths run — candidate generation is a
+``groupby(band_hash)`` shuffle whose group sizes are bounded by band width,
+then verification touches only candidate pairs (documented partitioning
+assumption: one LSH bucket fits one task).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+SHINGLE = 3          # words per shingle
+JACCARD_T = 0.35     # pair-report threshold (driver data has mid-J pairs)
+NUM_HASHES = 64      # minhash signature length
+BANDS, ROWS_PER_BAND = 16, 4
+SIMHASH_HAM_T = 8    # max hamming distance for simhash near-dup
+COS_DOT_T = 0.40     # cosine threshold for embedding near-dup
+
+
+def _read_docs(sf_dir: str, columns):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+def _i64(arr) -> pa.Array:
+    return pa.array(np.asarray(arr, dtype=np.int64), type=pa.int64())
+
+
+def _shingle_set(text: str) -> set:
+    w = text.split(" ")
+    if len(w) < SHINGLE:
+        return {" ".join(w)}
+    return {" ".join(w[i: i + SHINGLE]) for i in range(len(w) - SHINGLE + 1)}
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard all-pairs (broadcast small side; SQL twin)
+
+def ngram_jaccard_pairs_documents(sf_dir: str):
+    """All doc pairs with 3-word-shingle Jaccard >= JACCARD_T.
+
+    Ray plan: collect (doc_id, shingle_set) once (small at test scale),
+    ``ray.put`` broadcast, then each map_batches task compares ITS rows
+    against the full broadcast side — O(n^2) work distributed over tasks
+    with zero shuffle.  jaccard = inter/union on exact ints -> bit-exact.
+    """
+    import ray
+
+    docs = _read_docs(sf_dir, ["doc_id", "text"]).take_all()
+    sets = [(int(r["doc_id"]), _shingle_set(r["text"])) for r in docs]
+    sets.sort()
+    ref = ray.put(sets)
+
+    class Compare:
+        def __init__(self):
+            self.sets = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            doc = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            texts = batch["text"].to_pylist()
+            lo, hi, jac = [], [], []
+            for d, t in zip(doc, texts):
+                s = _shingle_set(t)
+                for d2, s2 in self.sets:
+                    if d2 <= d:
+                        continue
+                    inter = len(s & s2)
+                    if inter == 0:
+                        continue
+                    union = len(s) + len(s2) - inter
+                    j = inter / union
+                    if j >= JACCARD_T:
+                        lo.append(d)
+                        hi.append(d2)
+                        jac.append(j)
+            return pa.table({
+                "doc_lo": _i64(lo), "doc_hi": _i64(hi),
+                "jaccard": pa.array(np.asarray(jac, dtype=np.float64)),
+            })
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        Compare, concurrency=(1, 4), batch_format="pyarrow", zero_copy_batch=True)
+
+
+NGRAM_JACCARD_SQL = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+idx AS (
+  SELECT doc_id, words, unnest(range(greatest(len(words) - {SHINGLE - 1}, 1))) AS i
+  FROM w
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         CASE WHEN len(words) < {SHINGLE} THEN array_to_string(words, ' ')
+              ELSE words[CAST(i AS INTEGER) + 1] || ' ' || words[CAST(i AS INTEGER) + 2]
+                   || ' ' || words[CAST(i AS INTEGER) + 3] END AS g
+  FROM idx
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_lo, b.doc_id AS doc_hi, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT CAST(doc_lo AS BIGINT) AS doc_lo, CAST(doc_hi AS BIGINT) AS doc_hi,
+       CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = doc_lo JOIN sizes sb ON sb.doc_id = doc_hi
+WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {JACCARD_T}
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding (the scale path; rows-only driver check)
+
+def _stable_u64(strings) -> np.ndarray:
+    """Vectorized stable 64-bit hash of a string sequence (SipHash via pandas)."""
+    return pd.util.hash_array(np.asarray(list(strings), dtype=object), categorize=False)
+
+
+_MH_A = np.random.default_rng(1234).integers(1, (1 << 61) - 1, size=NUM_HASHES,
+                                             dtype=np.uint64) | np.uint64(1)
+_MH_B = np.random.default_rng(5678).integers(0, (1 << 61) - 1, size=NUM_HASHES,
+                                             dtype=np.uint64)
+
+
+def minhash_signature(shingles: set) -> np.ndarray:
+    """64-lane minhash of a shingle set: universal-hash family
+    ``h_i(x) = a_i * sip(x) + b_i`` (mod 2^64), min per lane."""
+    if not shingles:
+        return np.zeros(NUM_HASHES, dtype=np.uint64)
+    base = _stable_u64(sorted(shingles))
+    lanes = base[None, :] * _MH_A[:, None] + _MH_B[:, None]   # (H, n) mod 2^64
+    return lanes.min(axis=1)
+
+
+def minhash_lsh_pairs_documents(sf_dir: str):
+    """Near-dup candidate pairs via LSH banding, verified by true Jaccard.
+
+    Plan (the 100 TB shape):
+      1. map_batches: doc -> 64-lane signature -> BANDS band-hash rows
+      2. groupby(band, band_hash): docs sharing a band bucket -> candidates
+      3. verify candidates with exact shingle Jaccard (here: broadcast sets;
+         at scale: a co-partitioned join on doc_id)
+    P(candidate | J) = 1 - (1 - J^{ROWS_PER_BAND})^{BANDS} — at the report
+    threshold J>=0.35 recall is imperfect BY DESIGN (approximate operator):
+    driver check is rows-only; pytest pins recall on planted duplicates.
+    """
+    import ray
+
+    docs = _read_docs(sf_dir, ["doc_id", "text"]).take_all()
+    shingle_sets = {int(r["doc_id"]): _shingle_set(r["text"]) for r in docs}
+    sets_ref = ray.put(shingle_sets)
+
+    def bands(batch: pa.Table) -> pa.Table:
+        doc = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = batch["text"].to_pylist()
+        out_doc, out_band, out_hash = [], [], []
+        for d, t in zip(doc, texts):
+            sig = minhash_signature(_shingle_set(t))
+            for b in range(BANDS):
+                chunk = sig[b * ROWS_PER_BAND: (b + 1) * ROWS_PER_BAND]
+                h = hashlib.md5(chunk.tobytes() + bytes([b])).hexdigest()[:16]
+                out_doc.append(d)
+                out_band.append(b)
+                out_hash.append(h)
+        return pa.table({
+            "doc_id": _i64(out_doc),
+            "band": _i64(out_band),
+            "bucket": pa.array(out_hash),
+        })
+
+    band_rows = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        bands, batch_format="pyarrow", zero_copy_batch=True)
+
+    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g["doc_id"].to_numpy(np.int64))
+        if len(ids) < 2:
+            return pd.DataFrame({"doc_lo": pd.Series([], dtype=np.int64),
+                                 "doc_hi": pd.Series([], dtype=np.int64)})
+        lo, hi = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"doc_lo": ids[lo], "doc_hi": ids[hi]})
+
+    cand = band_rows.groupby(["band", "bucket"]).map_groups(
+        emit_pairs, batch_format="pandas").groupby(["doc_lo", "doc_hi"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas")
+
+    class Verify:
+        def __init__(self):
+            self.sets = ray.get(sets_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            lo = batch["doc_lo"].to_numpy(zero_copy_only=False).astype(np.int64)
+            hi = batch["doc_hi"].to_numpy(zero_copy_only=False).astype(np.int64)
+            jac = np.empty(len(lo))
+            for i, (a, b) in enumerate(zip(lo, hi)):
+                sa, sb = self.sets[int(a)], self.sets[int(b)]
+                inter = len(sa & sb)
+                jac[i] = inter / (len(sa) + len(sb) - inter) if inter else 0.0
+            keep = jac >= JACCARD_T
+            return pa.table({
+                "doc_lo": _i64(lo[keep]), "doc_hi": _i64(hi[keep]),
+                "jaccard": pa.array(jac[keep]),
+            })
+
+    return cand.map_batches(Verify, concurrency=(1, 4), batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# SimHash (64-bit) near-dup (rows-only driver check; pytest oracle)
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over word hashes (Charikar 2002, public)."""
+    words = text.split(" ")
+    if not words:
+        return 0
+    h = _stable_u64(words)
+    bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int64)
+    v = (2 * bits - 1).sum(axis=0)
+    return int("".join("1" if x > 0 else "0" for x in v[::-1]), 2)
+
+
+def simhash_pairs_documents(sf_dir: str):
+    """Doc pairs whose 64-bit simhashes differ in <= SIMHASH_HAM_T bits.
+
+    Plan: map_batches computes signatures; 4x 16-bit band buckets guarantee
+    recall for hamming distance <= 3 per 16-bit block pigeonhole (any pair
+    within hamming 8 shares at least one of 4 blocks... only if the 8
+    differing bits avoid one block — guaranteed when ham < 4; heuristic
+    above).  Verification is an exact popcount on candidate pairs.
+    """
+    import ray
+
+    docs = _read_docs(sf_dir, ["doc_id", "text"]).take_all()
+    sigs = {int(r["doc_id"]): simhash64(r["text"]) for r in docs}
+    sig_ref = ray.put(sigs)
+
+    def bands(batch: pa.Table) -> pa.Table:
+        doc = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = batch["text"].to_pylist()
+        out_doc, out_band, out_key = [], [], []
+        for d, t in zip(doc, texts):
+            s = simhash64(t)
+            for b in range(4):
+                out_doc.append(d)
+                out_band.append(b)
+                out_key.append((s >> (16 * b)) & 0xFFFF)
+        return pa.table({"doc_id": _i64(out_doc), "band": _i64(out_band),
+                         "key": _i64(out_key)})
+
+    band_rows = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        bands, batch_format="pyarrow", zero_copy_batch=True)
+
+    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g["doc_id"].to_numpy(np.int64))
+        if len(ids) < 2:
+            return pd.DataFrame({"doc_lo": pd.Series([], dtype=np.int64),
+                                 "doc_hi": pd.Series([], dtype=np.int64)})
+        lo, hi = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"doc_lo": ids[lo], "doc_hi": ids[hi]})
+
+    cand = band_rows.groupby(["band", "key"]).map_groups(
+        emit_pairs, batch_format="pandas").groupby(["doc_lo", "doc_hi"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas")
+
+    class Verify:
+        def __init__(self):
+            self.sigs = ray.get(sig_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            lo = batch["doc_lo"].to_numpy(zero_copy_only=False).astype(np.int64)
+            hi = batch["doc_hi"].to_numpy(zero_copy_only=False).astype(np.int64)
+            ham = np.array([bin(self.sigs[int(a)] ^ self.sigs[int(b)]).count("1")
+                            for a, b in zip(lo, hi)], dtype=np.int64)
+            keep = ham <= SIMHASH_HAM_T
+            return pa.table({"doc_lo": _i64(lo[keep]), "doc_hi": _i64(hi[keep]),
+                             "hamming": _i64(ham[keep])})
+
+    return cand.map_batches(Verify, concurrency=(1, 4), batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup (exact scaled-int dot; SQL twin)
+
+def embedding_neardup_pairs(sf_dir: str):
+    """Vector pairs with cosine >= COS_DOT_T, decided on EXACT integers:
+    keep iff dot > 0 and dot^2 >= T^2 * |a|^2 * |b|^2 (all int64 from
+    1e6-scaled embeddings; float only in the reported cosine, one fixed
+    expression).  Broadcast full matrix once; each task compares its rows.
+    """
+    import ray
+    import ray.data as rd
+
+    tbl = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"]).take_all()
+    ids = np.array([int(r["vec_id"]) for r in tbl], dtype=np.int64)
+    M = np.stack([np.floor(np.asarray(r["embedding"], dtype=np.float64) * 1e6)
+                  for r in tbl]).astype(np.int64)
+    order = np.argsort(ids)
+    ids, M = ids[order], M[order]
+    ref = ray.put((ids, M))
+
+    class Compare:
+        def __init__(self):
+            self.ids, self.M = ray.get(ref)
+            self.norms = (self.M.astype(object) ** 2).sum(axis=1)  # exact python ints
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            from ..stages import listkernels as lk
+            from ..stages import signal as sg
+
+            vec = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            vals, offs = lk.list_parts(batch["embedding"])
+            Y = np.floor(sg.as_2d(vals, offs).astype(np.float64) * 1e6).astype(np.int64)
+            # exact int dot products via object dtype (no overflow: 64 dims x 1e12 each)
+            D = Y @ self.M.T                      # int64: |dot| <= 64 * 1e12 < 2^63 OK
+            ynorm = np.einsum("ij,ij->i", Y, Y)   # <= 64e12, fits int64
+            lo_l, hi_l, cos_l = [], [], []
+            for i, d in enumerate(vec):
+                mask = self.ids > d
+                dots = D[i][mask]
+                nb = np.array([int(x) for x in self.norms[mask]], dtype=np.float64)
+                pos = dots > 0
+                ok = pos & (dots.astype(np.float64) ** 2
+                            >= (COS_DOT_T ** 2) * float(ynorm[i]) * nb)
+                if ok.any():
+                    sel = np.flatnonzero(mask)[ok]
+                    lo_l.extend([int(d)] * len(sel))
+                    hi_l.extend(self.ids[sel].tolist())
+                    cos_l.extend((D[i][mask][ok].astype(np.float64)
+                                  / (np.sqrt(float(ynorm[i])) * np.sqrt(nb[ok]))).tolist())
+            return pa.table({
+                "vec_lo": _i64(lo_l), "vec_hi": _i64(hi_l),
+                "cosine": pa.array(np.asarray(cos_l, dtype=np.float64)),
+            })
+
+    return rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                           columns=["vec_id", "embedding"]).map_batches(
+        Compare, concurrency=(1, 4), batch_format="pyarrow", zero_copy_batch=True)
+
+
+EMBEDDING_NEARDUP_SQL = f"""
+WITH flat AS (
+  SELECT vec_id, pos, CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS v
+  FROM (SELECT vec_id, unnest(embedding) AS x,
+               unnest(range(len(embedding))) AS pos FROM embeddings)
+),
+norms AS (SELECT vec_id, CAST(SUM(v * v) AS BIGINT) AS n2 FROM flat GROUP BY vec_id),
+dots AS (
+  SELECT a.vec_id AS vec_lo, b.vec_id AS vec_hi, CAST(SUM(a.v * b.v) AS BIGINT) AS dot
+  FROM flat a JOIN flat b ON a.pos = b.pos AND a.vec_id < b.vec_id
+  GROUP BY 1, 2
+)
+SELECT CAST(vec_lo AS BIGINT) AS vec_lo, CAST(vec_hi AS BIGINT) AS vec_hi,
+       CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cosine
+FROM dots JOIN norms na ON na.vec_id = vec_lo JOIN norms nb ON nb.vec_id = vec_hi
+WHERE dot > 0
+  AND CAST(dot AS DOUBLE) * CAST(dot AS DOUBLE)
+        >= {COS_DOT_T * COS_DOT_T} * CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)
+"""
+
+
+def build_dedup_queries() -> dict:
+    return {
+        "ngram_jaccard_pairs_documents": ngram_jaccard_pairs_documents,
+        "minhash_lsh_pairs_documents": minhash_lsh_pairs_documents,
+        "simhash_pairs_documents": simhash_pairs_documents,
+        "embedding_neardup_pairs": embedding_neardup_pairs,
+    }
+
+
+def build_dedup_sql() -> dict:
+    return {
+        "ngram_jaccard_pairs_documents": NGRAM_JACCARD_SQL,
+        "embedding_neardup_pairs": EMBEDDING_NEARDUP_SQL,
+        # minhash_lsh / simhash: approximate by design -> rows-only
+    }

@@ -564,7 +564,18 @@ FROM documents
 # Registry
 
 def build_queries() -> dict:
+    from ..stages.multimodal import build_multimodal_queries
+    from .ann import build_ann_queries
+    from .dedup import build_dedup_queries
+    from .queries2 import build_queries2
+    from .textops import build_textops_queries
+
     return {
+        **build_queries2(),
+        **build_textops_queries(),
+        **build_dedup_queries(),
+        **build_ann_queries(),
+        **build_multimodal_queries(),
         "rollup_1m": lambda sf: rollup_documents(sf, 60),
         "rollup_1h": lambda sf: rollup_documents(sf, 3600),
         "rollup_1d": lambda sf: rollup_documents(sf, 86400),
@@ -584,7 +595,18 @@ def build_queries() -> dict:
 
 
 def build_oracle_sql() -> dict:
+    from ..stages.multimodal import build_multimodal_sql
+    from .ann import build_ann_sql
+    from .dedup import build_dedup_sql
+    from .queries2 import build_oracle_sql2
+    from .textops import build_textops_sql
+
     return {
+        **build_oracle_sql2(),
+        **build_textops_sql(),
+        **build_dedup_sql(),
+        **build_ann_sql(),
+        **build_multimodal_sql(),
         "rollup_1m": _rollup_sql(60),
         "rollup_1h": _rollup_sql(3600),
         "rollup_1d": _rollup_sql(86400),

@@ -1,0 +1,531 @@
+"""Driver-contract queries, pack 2: signal ops (detrend/correlate/normalize/
+fourier/crosscorr/convolve), windowed means, gap-fill, continuous-aggregate
+sketch, and the remaining per-record transforms (squelch/select/median).
+
+Float-exactness discipline (same as queries.py): every hash-compared float
+column is computed from EXACT float64 quantities (integer moments, or
+quarter-rationals from percentile interpolation of ints) so that any
+algebraically-equivalent expression — ours and DuckDB's — yields identical
+bits.  Ops whose floats are genuinely inexact (fourier, crosscorr,
+convolve over normalized values) ship WITHOUT an oracle_sql twin: the
+driver records the weaker rows-only check and pytest pins them to the
+NumPy oracle instead (tests/test_signal.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..sources.tokens import tokens_from_documents
+from ..stages import listkernels as lk
+from ..stages import signal as sg
+
+SCALE = 1_000_000
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _i64(arr) -> pa.Array:
+    return pa.array(np.asarray(arr, dtype=np.int64), type=pa.int64())
+
+
+def _emb_2d(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """embeddings batch -> (vec_id int64, scaled-int (n,d) matrix)."""
+    vals, offs = lk.list_parts(batch["embedding"])
+    scaled = np.floor(vals.astype(np.float64) * SCALE).astype(np.int64)
+    Y = sg.as_2d(scaled, offs)
+    vec = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    return vec, Y
+
+
+# ---------------------------------------------------------------------------
+# Detrend (thunder series.py:~740) — closed-form linear, exact moments
+
+def detrend_linear_embeddings(sf_dir: str):
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        vec, Y = _emb_2d(batch)
+        R = sg.detrend_linear_closed_form(Y)
+        n, d = R.shape
+        return pa.table({
+            "vec_id": _i64(np.repeat(vec, d)),
+            "pos": _i64(np.tile(np.arange(d, dtype=np.int64), n)),
+            "resid": pa.array(R.reshape(-1)),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+DETREND_LINEAR_EMB_SQL = """
+WITH flat AS (
+  SELECT vec_id, pos, CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS v
+  FROM (SELECT vec_id, unnest(embedding) AS x,
+               unnest(range(len(embedding))) AS pos FROM embeddings)
+),
+m AS (
+  SELECT vec_id,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(pos) AS BIGINT) AS sx,
+         CAST(SUM(pos * pos) AS BIGINT) AS sxx,
+         CAST(SUM(v) AS BIGINT) AS sy,
+         CAST(SUM(v * pos) AS BIGINT) AS sxy
+  FROM flat GROUP BY vec_id
+),
+s AS (
+  SELECT vec_id,
+         CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) AS slope
+  FROM m
+)
+SELECT f.vec_id, CAST(f.pos AS BIGINT) AS pos,
+       CAST(f.v AS DOUBLE) - s.slope * CAST(f.pos AS DOUBLE) AS resid
+FROM flat f JOIN s USING (vec_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Correlate (thunder series.py:~360) — Pearson r vs signal = position index
+
+def correlate_embeddings(sf_dir: str):
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        vec, Y = _emb_2d(batch)
+        n_rows, d = Y.shape
+        x = np.arange(d, dtype=np.int64)
+        n = np.int64(d)
+        sx, sxx = x.sum(), (x * x).sum()
+        sy = Y.sum(axis=1)
+        syy = (Y * Y).sum(axis=1)
+        sxy = (Y * x).sum(axis=1)
+        num = (n * sxy - sx * sy).astype(np.float64)
+        den = np.sqrt((n * sxx - sx * sx).astype(np.float64)) * np.sqrt(
+            (n * syy - sy * sy).astype(np.float64))
+        keep = den > 0
+        return pa.table({
+            "vec_id": _i64(vec[keep]),
+            "r": pa.array(num[keep] / den[keep]),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+CORRELATE_EMB_SQL = """
+WITH flat AS (
+  SELECT vec_id, pos, CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS v
+  FROM (SELECT vec_id, unnest(embedding) AS x,
+               unnest(range(len(embedding))) AS pos FROM embeddings)
+),
+m AS (
+  SELECT vec_id,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(pos) AS BIGINT) AS sx,
+         CAST(SUM(pos * pos) AS BIGINT) AS sxx,
+         CAST(SUM(v) AS BIGINT) AS sy,
+         CAST(SUM(v * v) AS BIGINT) AS syy,
+         CAST(SUM(v * pos) AS BIGINT) AS sxy
+  FROM flat GROUP BY vec_id
+)
+SELECT vec_id,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+         / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS r
+FROM m
+WHERE sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * sqrt(CAST(n * syy - sy * sy AS DOUBLE)) > 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# Normalize percentile (thunder series.py:~770) — quarter-rational baseline
+
+def normalize_percentile_embeddings(sf_dir: str, perc: float = 25.0,
+                                    offset_scaled: float = 100_000.0):
+    """(v - b) / (b + offset) on 1e6-scaled ints; b = 25th percentile
+    (numpy linear interpolation — exact because lo/hi are ints and
+    frac = 0.75 is a power-of-two rational)."""
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        vec, Y = _emb_2d(batch)
+        n, d = Y.shape
+        S = np.sort(Y, axis=1)
+        p = (d - 1) * (perc / 100.0)
+        lo, hi = int(np.floor(p)), int(np.ceil(p))
+        frac = p - lo
+        b = S[:, lo].astype(np.float64) * (1 - frac) + S[:, hi].astype(np.float64) * frac
+        out = (Y.astype(np.float64) - b[:, None]) / (b[:, None] + offset_scaled)
+        return pa.table({
+            "vec_id": _i64(np.repeat(vec, d)),
+            "pos": _i64(np.tile(np.arange(d, dtype=np.int64), n)),
+            "norm": pa.array(out.reshape(-1)),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+NORMALIZE_PCT_EMB_SQL = """
+WITH flat AS (
+  SELECT vec_id, pos, CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS v
+  FROM (SELECT vec_id, unnest(embedding) AS x,
+               unnest(range(len(embedding))) AS pos FROM embeddings)
+),
+ranked AS (
+  SELECT vec_id, v, row_number() OVER (PARTITION BY vec_id ORDER BY v) AS rk
+  FROM flat
+),
+b AS (
+  SELECT vec_id,
+         CAST(MIN(CASE WHEN rk = 16 THEN v END) AS DOUBLE) * 0.25
+           + CAST(MIN(CASE WHEN rk = 17 THEN v END) AS DOUBLE) * 0.75 AS base
+  FROM ranked GROUP BY vec_id
+)
+SELECT f.vec_id, CAST(f.pos AS BIGINT) AS pos,
+       (CAST(f.v AS DOUBLE) - b.base) / (b.base + 100000.0) AS norm
+FROM flat f JOIN b USING (vec_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# mean_by_window over tokens (thunder series.py:~1030)
+
+WINDOW_CENTERS = [5, 17, 40]
+WINDOW = 8
+
+
+def mean_by_window_tokens(sf_dir: str):
+    ds = tokens_from_documents(sf_dir)
+
+    def f(batch: pa.Table) -> pa.Table:
+        vals, offs = lk.list_parts(batch["tokens"])
+        M = sg.seg_mean_by_window(vals, offs, WINDOW_CENTERS, WINDOW)
+        doc = batch["doc_id_int"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n, w = M.shape
+        flat = M.reshape(-1)
+        keep = ~np.isnan(flat)
+        return pa.table({
+            "doc_id": _i64(np.repeat(doc, w)[keep]),
+            "woff": _i64(np.tile(np.arange(w, dtype=np.int64), n)[keep]),
+            "mean_w": pa.array(flat[keep]),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+MEAN_BY_WINDOW_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, list_transform(string_split(text, ' '), w -> length(w)) AS tokens
+  FROM documents
+),
+flat AS (
+  SELECT doc_id, pos, CAST(v AS BIGINT) AS v
+  FROM (SELECT doc_id, unnest(tokens) AS v, unnest(range(len(tokens))) AS pos FROM tok)
+),
+grid AS (
+  SELECT ctr, woff, ctr - {WINDOW // 2} + woff AS p
+  FROM (SELECT unnest([{", ".join(map(str, WINDOW_CENTERS))}]) AS ctr)
+  CROSS JOIN (SELECT unnest(range({WINDOW})) AS woff)
+)
+SELECT f.doc_id, CAST(g.woff AS BIGINT) AS woff,
+       CAST(SUM(f.v) AS DOUBLE) / COUNT(*) AS mean_w
+FROM flat f JOIN grid g ON f.pos = g.p
+GROUP BY f.doc_id, g.woff
+"""
+
+
+# ---------------------------------------------------------------------------
+# Gap-fill (north rule): explicit linear interpolation of empty 1m buckets
+
+def _events_rollup(sf_dir: str, tier_seconds: int):
+    """events -> per (event_type, bucket) exact-int moments at ``tier_seconds``."""
+    from .queries import rollup_events_1h  # noqa: F401  (same pattern, param tier)
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        ts_us = batch["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        bucket = ts_us // 1_000_000 // tier_seconds
+        v = np.floor(batch["value"].to_numpy(zero_copy_only=False) * SCALE).astype(np.int64)
+        src = batch["event_type"].to_numpy(zero_copy_only=False)
+        uniq, code = np.unique(src, return_inverse=True)
+        key = (code.astype(np.int64) << 40) | (bucket & ((1 << 40) - 1))
+        order = np.argsort(key, kind="stable")
+        k = key[order]
+        vv = v[order]
+        boundary = np.empty(len(k), dtype=bool)
+        if len(k):
+            boundary[0] = True
+            boundary[1:] = k[1:] != k[:-1]
+        starts = np.flatnonzero(boundary)
+        return pa.table({
+            "event_type": pa.array(uniq[(k[starts] >> 40).astype(np.int64)]),
+            "bucket": _i64(k[starts] & ((1 << 40) - 1)),
+            "count": _i64(np.diff(np.append(starts, len(k)))),
+            "sum_s": _i64(np.add.reduceat(vv, starts) if len(starts) else vv[:0]),
+        })
+
+    merged = ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True).groupby(
+        ["event_type", "bucket"]
+    ).aggregate(Sum("count", alias_name="count"), Sum("sum_s", alias_name="sum_s"))
+    return merged
+
+
+def gap_fill_1m_events(sf_dir: str):
+    """Missing (event_type, bucket) rows of the events 1m rollup, mean
+    linearly interpolated between neighbouring real buckets — the
+    query-side twin of stages/gapfill with the explicit fixed expression
+    ``pm + (nm - pm) * ((b - pb) / (nb - pb))`` (SQL-identical)."""
+    import pandas as pd
+
+    tier = _events_rollup(sf_dir, 60)
+
+    def fill(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("bucket")
+        b = g["bucket"].to_numpy(np.int64)
+        cnt = g["count"].to_numpy(np.int64)
+        s = g["sum_s"].to_numpy(np.int64)
+        m = s.astype(np.float64) / cnt
+        src = g["event_type"].iloc[0]
+        out_b, out_m = [], []
+        gaps = np.flatnonzero(np.diff(b) > 1)
+        for i in gaps:
+            pb, nb, pm, nm = b[i], b[i + 1], m[i], m[i + 1]
+            miss = np.arange(pb + 1, nb, dtype=np.int64)
+            out_b.append(miss)
+            out_m.append(pm + (nm - pm) * ((miss - pb).astype(np.float64) / np.float64(nb - pb)))
+        if not out_b:
+            return pd.DataFrame({"event_type": pd.Series([], dtype=str),
+                                 "bucket": pd.Series([], dtype=np.int64),
+                                 "mean_fill": pd.Series([], dtype=np.float64)})
+        return pd.DataFrame({
+            "event_type": src,
+            "bucket": np.concatenate(out_b),
+            "mean_fill": np.concatenate(out_m),
+        })
+
+    return tier.groupby("event_type").map_groups(fill, batch_format="pandas")
+
+
+GAP_FILL_EVENTS_SQL = """
+WITH t AS (
+  SELECT event_type, bucket,
+         CAST(SUM(v) AS DOUBLE) / COUNT(*) AS mean
+  FROM (SELECT event_type,
+               (epoch_us(ts) // 1000000) // 60 AS bucket,
+               CAST(floor(value * 1000000) AS BIGINT) AS v
+        FROM events)
+  GROUP BY event_type, bucket
+),
+g AS (
+  SELECT event_type, bucket AS pb,
+         lead(bucket) OVER (PARTITION BY event_type ORDER BY bucket) AS nb,
+         mean AS pm,
+         lead(mean) OVER (PARTITION BY event_type ORDER BY bucket) AS nm
+  FROM t
+)
+SELECT event_type, CAST(b AS BIGINT) AS bucket,
+       pm + (nm - pm) * (CAST(b - pb AS DOUBLE) / CAST(nb - pb AS DOUBLE)) AS mean_fill
+FROM (SELECT event_type, pb, nb, pm, nm, unnest(range(pb + 1, nb)) AS b
+      FROM g WHERE nb > pb + 1)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Continuous-aggregate sketch == batch rollup (state/sketch.py)
+
+def sketch_rollup_1m(sf_dir: str):
+    """Stream the tokens table through the stateful sketch actor pool and
+    snapshot: must equal the batch 1m rollup bit-for-bit (and hash-match
+    the same DuckDB oracle as rollup_1m)."""
+    from ..state.sketch import ContinuousAggregate
+
+    agg = ContinuousAggregate(60, num_shards=4, t0_column="doc_id_int")
+    agg.ingest_dataset(tokens_from_documents(sf_dir))
+    snap = agg.snapshot()
+    return snap.drop(columns=["sumsq"])
+
+
+# ---------------------------------------------------------------------------
+# Remaining per-record transforms (squelch / select / median)
+
+def squelch_sum_tokens(sf_dir: str, threshold: int = 15):
+    ds = tokens_from_documents(sf_dir)
+
+    def f(batch: pa.Table) -> pa.Table:
+        vals, offs = lk.list_parts(batch["tokens"])
+        sq = lk.seg_squelch(vals, offs, threshold)
+        rel = offs - offs[0]
+        return pa.table({
+            "doc_id": _i64(batch["doc_id_int"].to_numpy(zero_copy_only=False)),
+            "sum_sq": _i64(lk.seg_sum(sq.astype(np.int64), rel)),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQUELCH_SUM_SQL = """
+WITH tok AS (
+  SELECT doc_id, list_transform(string_split(text, ' '), w -> length(w)) AS tokens
+  FROM documents
+),
+flat AS (SELECT doc_id, CAST(unnest(tokens) AS BIGINT) AS v FROM tok)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(CASE WHEN MAX(v) >= 15 THEN SUM(v) ELSE 0 END AS BIGINT) AS sum_sq
+FROM flat GROUP BY doc_id
+"""
+
+
+SELECT_POSITIONS = [0, 10, 20]
+
+
+def select_positions_tokens(sf_dir: str):
+    ds = tokens_from_documents(sf_dir)
+
+    def f(batch: pa.Table) -> pa.Table:
+        vals, offs = lk.list_parts(batch["tokens"])
+        v, new_off = lk.seg_select(vals, offs, SELECT_POSITIONS)
+        return pa.table({
+            "doc_id": _i64(batch["doc_id_int"].to_numpy(zero_copy_only=False)),
+            "n_sel": _i64(np.diff(new_off)),
+            "sum_sel": _i64(lk.seg_sum(v.astype(np.int64), new_off)),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SELECT_POSITIONS_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, list_transform(string_split(text, ' '), w -> length(w)) AS tokens
+  FROM documents
+),
+flat AS (
+  SELECT doc_id, pos, CAST(v AS BIGINT) AS v
+  FROM (SELECT doc_id, unnest(tokens) AS v, unnest(range(len(tokens))) AS pos FROM tok)
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_sel,
+       CAST(SUM(v) AS BIGINT) AS sum_sel
+FROM flat WHERE pos IN ({", ".join(map(str, SELECT_POSITIONS))}) GROUP BY doc_id
+"""
+
+
+def series_median_tokens(sf_dir: str):
+    ds = tokens_from_documents(sf_dir)
+
+    def f(batch: pa.Table) -> pa.Table:
+        vals, offs = lk.list_parts(batch["tokens"])
+        return pa.table({
+            "doc_id": _i64(batch["doc_id_int"].to_numpy(zero_copy_only=False)),
+            "median": pa.array(lk.seg_median(vals, offs)),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SERIES_MEDIAN_SQL = """
+WITH tok AS (
+  SELECT doc_id, list_transform(string_split(text, ' '), w -> length(w)) AS tokens
+  FROM documents
+),
+flat AS (SELECT doc_id, CAST(unnest(tokens) AS BIGINT) AS v FROM tok)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, median(v) AS median
+FROM flat GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Rows-only signal queries (floats not exactly reproducible in SQL: FFT,
+# normalized crosscorr, convolution — pinned to the NumPy oracle in pytest)
+
+def fourier_embeddings(sf_dir: str, freq: int = 3):
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        vals, offs = lk.list_parts(batch["embedding"])
+        Y = sg.as_2d(vals.astype(np.float64), offs)
+        co, ph = sg.fourier_2d(Y, freq)
+        return pa.table({
+            "vec_id": _i64(batch["vec_id"].to_numpy(zero_copy_only=False)),
+            "coherence": pa.array(co),
+            "phase": pa.array(ph),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def crosscorr_embeddings(sf_dir: str, lag: int = 2):
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        vals, offs = lk.list_parts(batch["embedding"])
+        Y = sg.as_2d(vals.astype(np.float64), offs)
+        sig = np.sin(np.arange(Y.shape[1], dtype=np.float64))  # fixed test signal
+        C = sg.crosscorr_2d(Y, sig, lag)
+        n, w = C.shape
+        return pa.table({
+            "vec_id": _i64(np.repeat(batch["vec_id"].to_numpy(zero_copy_only=False), w)),
+            "lag": _i64(np.tile(np.arange(-lag, lag + 1, dtype=np.int64), n)),
+            "xcorr": pa.array(C.reshape(-1)),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def convolve_embeddings(sf_dir: str):
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    kernel = np.array([0.25, 0.5, 0.25])
+
+    def f(batch: pa.Table) -> pa.Table:
+        vals, offs = lk.list_parts(batch["embedding"])
+        Y = sg.as_2d(vals.astype(np.float64), offs)
+        C = sg.convolve_2d(Y, kernel, mode="same")
+        n, d = C.shape
+        return pa.table({
+            "vec_id": _i64(np.repeat(batch["vec_id"].to_numpy(zero_copy_only=False), d)),
+            "pos": _i64(np.tile(np.arange(d, dtype=np.int64), n)),
+            "smoothed": pa.array(C.reshape(-1)),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# Registry (merged into queries.build_queries / build_oracle_sql)
+
+def build_queries2() -> dict:
+    return {
+        "detrend_linear_embeddings": detrend_linear_embeddings,
+        "correlate_embeddings": correlate_embeddings,
+        "normalize_percentile_embeddings": normalize_percentile_embeddings,
+        "mean_by_window_tokens": mean_by_window_tokens,
+        "gap_fill_1m_events": gap_fill_1m_events,
+        "sketch_rollup_1m": sketch_rollup_1m,
+        "squelch_sum_tokens": squelch_sum_tokens,
+        "select_positions_tokens": select_positions_tokens,
+        "series_median_tokens": series_median_tokens,
+        "fourier_embeddings": fourier_embeddings,
+        "crosscorr_embeddings": crosscorr_embeddings,
+        "convolve_embeddings": convolve_embeddings,
+    }
+
+
+def build_oracle_sql2() -> dict:
+    from .queries import _rollup_sql
+
+    return {
+        "detrend_linear_embeddings": DETREND_LINEAR_EMB_SQL,
+        "correlate_embeddings": CORRELATE_EMB_SQL,
+        "normalize_percentile_embeddings": NORMALIZE_PCT_EMB_SQL,
+        "mean_by_window_tokens": MEAN_BY_WINDOW_SQL,
+        "gap_fill_1m_events": GAP_FILL_EVENTS_SQL,
+        "sketch_rollup_1m": _rollup_sql(60),
+        "squelch_sum_tokens": SQUELCH_SUM_SQL,
+        "select_positions_tokens": SELECT_POSITIONS_SQL,
+        "series_median_tokens": SERIES_MEDIAN_SQL,
+        # fourier / crosscorr / convolve: rows-only (see module docstring)
+    }

@@ -73,7 +73,8 @@ def rollup_shard(files: list[str], tier_seconds: int, t0_column: str | None,
     from ..sources.tokens import read_tokens
 
     cols = ["doc_id", "tokens", "source"] + ([t0_column] if t0_column else [])
-    ds = read_tokens(files, columns=cols)
+    # one block per input file: avoids Ray's ~1MB block splitting (tiny tasks)
+    ds = read_tokens(files, columns=cols, override_num_blocks=len(files))
     return ds.map_batches(
         ru.BucketizePartials(tier_seconds, t0_column=t0_column),
         batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size,
@@ -176,7 +177,7 @@ def rollup_streaming(input_path: str, out_root: str | None = None,
         paths = sorted(glob.glob(os.path.join(input_path, "*.parquet")))
     else:
         paths = [input_path]
-    ds = read_tokens(paths, columns=cols)
+    ds = read_tokens(paths, columns=cols, override_num_blocks=len(paths))
     tiers_out = {}
     cur = ru.rollup_tokens(ds, TIERS["1m"], t0_column=t0_column,
                            batch_size=batch_size).materialize()

@@ -1,0 +1,197 @@
+"""Multimodal column plumbing: opaque ``binary`` payloads + typed metadata,
+processed by actor-pool ``map_batches`` stages (SURVEY.md §2.8 pattern —
+stateful setup once per actor in ``__init__``, vectorized work per batch).
+
+The container has no image/audio codecs, so the DECODE step is explicitly
+stubbed: ``FakeDecoder`` derives deterministic "pixels" from the payload
+bytes (so the whole pipeline — schema, batch sizing, actor signature,
+output layout — is real and tested end-to-end), while ``RealDecoder``
+raises ``NotImplementedError`` behind an import-try on PIL/soundfile.
+
+Memory discipline for large payloads: callers should pass a small
+``batch_size`` (payload bytes x batch_size x concurrency must fit worker
+heaps) — see ``decode_stage``'s default of 64.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+MEDIA_SCHEMA = pa.schema([
+    pa.field("media_id", pa.int64()),
+    pa.field("payload", pa.binary()),        # opaque encoded bytes
+    pa.field("media_type", pa.string()),     # "image" | "audio" | ...
+    pa.field("n_bytes", pa.int64()),
+])
+
+FEATURE_DIM = 16
+
+
+class FakeDecoder:
+    """Deterministic stand-in for an image/audio decode + feature extract.
+
+    __init__ = the once-per-actor model load (here: a fixed projection
+    matrix); __call__ = per-batch vectorized decode.  Features: byte
+    histogram (16 coarse bins, exact ints) + payload length — deterministic
+    and cheap, so tests can pin exact values.
+    """
+
+    def __init__(self, feature_dim: int = FEATURE_DIM):
+        self.dim = feature_dim
+        rng = np.random.default_rng(4242)       # "model weights"
+        self.proj = rng.normal(size=(256, feature_dim))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payload = batch["payload"]
+        if isinstance(payload, pa.ChunkedArray):
+            payload = payload.combine_chunks()
+        buf = np.frombuffer(payload.buffers()[2], dtype=np.uint8)
+        offs = np.frombuffer(payload.buffers()[1], dtype=np.int32)[
+            payload.offset: payload.offset + len(payload) + 1].astype(np.int64)
+        rel = offs - offs[0]
+        data = buf[offs[0]: offs[-1]]
+        # 16-bin byte histogram per row, fully segmented-vectorized
+        bins = (data >> 4).astype(np.int64)
+        row = np.repeat(np.arange(len(payload), dtype=np.int64), np.diff(rel))
+        flatk = row * 16 + bins
+        hist = np.bincount(flatk, minlength=len(payload) * 16).reshape(len(payload), 16)
+        feats = pa.FixedSizeListArray.from_arrays(
+            pa.array(hist.astype(np.float64).reshape(-1)), 16)
+        return pa.table({
+            "media_id": batch["media_id"].combine_chunks()
+            if isinstance(batch["media_id"], pa.ChunkedArray) else batch["media_id"],
+            "n_bytes": pa.array(np.diff(rel), type=pa.int64()),
+            "features": feats,
+        })
+
+
+class RealDecoder:
+    """The production decode stage: requires PIL / soundfile, which this
+    container does not ship — import-gated stub (north-rule multimodal
+    requirement: make the Ray plumbing real, stub the codec)."""
+
+    def __init__(self, media_type: str = "image"):
+        try:
+            import PIL.Image  # noqa: F401
+        except ImportError as e:
+            raise NotImplementedError(
+                "image/audio codecs not available in this container; "
+                "use FakeDecoder for plumbing tests"
+            ) from e
+
+    def __call__(self, batch: pa.Table) -> pa.Table:  # pragma: no cover
+        raise NotImplementedError
+
+
+def media_from_documents(sf_dir: str):
+    """Derive a media table from documents: payload = utf-8 bytes of text
+    (an opaque deterministic binary column with realistic size variance)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        payload = batch["text"].cast(pa.binary())
+        return pa.table({
+            "media_id": batch["doc_id"].cast(pa.int64()),
+            "payload": payload,
+            "media_type": pa.array(["image"] * len(batch)),
+            "n_bytes": pc.binary_length(payload).cast(pa.int64()),
+        })
+
+    return ds.map_batches(to_media, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def decode_stage(media_ds, concurrency=(1, 4), batch_size: int = 64):
+    """media table -> features via the actor-pool decode (small batch_size:
+    payloads are large at production scale)."""
+    return media_ds.map_batches(
+        FakeDecoder, concurrency=concurrency, batch_size=batch_size,
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
+def frame_sample_stage(media_ds, every_k: int = 4, concurrency=(1, 2)):
+    """'Frame sampling': deterministic byte-strided subsample of the payload
+    (video-frame-sampling plumbing; the real codec would split frames)."""
+
+    class Sampler:
+        def __init__(self):
+            self.k = every_k
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            payloads = batch["payload"].to_pylist()
+            sampled = [p[:: self.k] for p in payloads]
+            return pa.table({
+                "media_id": batch["media_id"].combine_chunks()
+                if isinstance(batch["media_id"], pa.ChunkedArray) else batch["media_id"],
+                "sampled": pa.array(sampled, type=pa.binary()),
+                "n_sampled": pa.array([len(s) for s in sampled], type=pa.int64()),
+            })
+
+    return media_ds.map_batches(Sampler, concurrency=concurrency,
+                                batch_size=64, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Driver queries
+
+def multimodal_features_documents(sf_dir: str):
+    """(media_id, n_bytes, hist_0) — first histogram bin is SQL-expressible
+    (count of bytes < 16 = control chars; none in text -> deterministic),
+    n_bytes = octet_length.  Exercises the full actor-pool decode path."""
+    feats = decode_stage(media_from_documents(sf_dir))
+
+    def project(batch: pa.Table) -> pa.Table:
+        f = batch["features"]
+        if isinstance(f, pa.ChunkedArray):
+            f = f.combine_chunks()
+        H = np.asarray(f.values.to_numpy(zero_copy_only=False)).reshape(-1, FEATURE_DIM)
+        return pa.table({
+            "media_id": batch["media_id"].combine_chunks()
+            if isinstance(batch["media_id"], pa.ChunkedArray) else batch["media_id"],
+            "n_bytes": batch["n_bytes"].combine_chunks()
+            if isinstance(batch["n_bytes"], pa.ChunkedArray) else batch["n_bytes"],
+            "hist_hi": pa.array(H[:, 6:8].sum(axis=1).astype(np.int64)),
+        })
+
+    return feats.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+
+
+MULTIMODAL_FEATURES_SQL = """
+SELECT CAST(doc_id AS BIGINT) AS media_id,
+       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+       CAST(octet_length(CAST(text AS BLOB))
+            - octet_length(CAST(regexp_replace(text, '[\\x60-\\x7f]', '', 'g') AS BLOB))
+            AS BIGINT) AS hist_hi
+FROM documents
+"""
+
+
+def frame_sample_documents(sf_dir: str):
+    media = media_from_documents(sf_dir)
+    return frame_sample_stage(media).select_columns(["media_id", "n_sampled"])
+
+
+FRAME_SAMPLE_SQL = """
+SELECT CAST(doc_id AS BIGINT) AS media_id,
+       CAST((octet_length(CAST(text AS BLOB)) + 3) // 4 AS BIGINT) AS n_sampled
+FROM documents
+"""
+
+
+def build_multimodal_queries() -> dict:
+    return {
+        "multimodal_features_documents": multimodal_features_documents,
+        "frame_sample_documents": frame_sample_documents,
+    }
+
+
+def build_multimodal_sql() -> dict:
+    return {
+        "multimodal_features_documents": MULTIMODAL_FEATURES_SQL,
+        "frame_sample_documents": FRAME_SAMPLE_SQL,
+    }

@@ -67,29 +67,65 @@ class BucketizePartials:
         self.salt = salt
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        # Memory-bandwidth discipline: buckets are NON-DECREASING within a
+        # row (t = t0 + position), so every (row, bucket) group is a
+        # contiguous RUN whose boundaries follow arithmetically from
+        # (t0 % tier, row length).  We therefore never materialize any
+        # per-token array except the four streaming reduceat passes — no
+        # per-token keys, no per-token sort (the naive lexsort kernel moved
+        # ~150 B/token and was memory-bound under multi-worker contention;
+        # this one moves ~25 B/token, all sequential).
         vals, offs = lk.list_parts(batch["tokens"])
-        base = lk._base_values(vals, offs)
-        lens = lk.lengths(offs)
+        base, rel = lk._flat(vals, offs)
+        lens = lk.lengths(offs).astype(np.int64)
         if self.t0_column is not None and self.t0_column in batch.column_names:
             t0 = batch[self.t0_column].to_numpy(zero_copy_only=False).astype(np.int64) % 86_400
         else:
             t0 = t0_for_doc_ids(batch["doc_id"].to_numpy(zero_copy_only=False))
-        pos = lk.positions(offs)
-        t = np.repeat(t0, lens) + pos
-        bucket = t // self.tier
 
-        # factorize source per row -> per position
+        tier = self.tier
+        phase = t0 % tier                       # offset into the first bucket
+        runs_per_row = (phase + lens + tier - 1) // tier
+        runs_per_row[lens == 0] = 0
+        n_runs = int(runs_per_row.sum())
+        run_row = np.repeat(np.arange(len(lens), dtype=np.int64), runs_per_row)
+        run_cum = np.zeros(len(lens) + 1, dtype=np.int64)
+        np.cumsum(runs_per_row, out=run_cum[1:])
+        run_k = np.arange(n_runs, dtype=np.int64) - run_cum[:-1][run_row]
+        first_len = tier - phase                # tokens in the row's first run
+        start_rel = np.where(run_k == 0, 0, first_len[run_row] + (run_k - 1) * tier)
+        run_starts = rel[:-1][run_row] + start_rel
+        run_bucket = (t0 // tier)[run_row] + run_k
+
+        # four sequential reduction passes over the token values; dtype=
+        # int64 upcasts inside reduceat (no 8-byte temp for the sum pass)
+        cnt = np.diff(np.append(run_starts, rel[-1]))
+        e = np.empty(0, dtype=np.int64)
+        s = np.add.reduceat(base, run_starts, dtype=np.int64) if n_runs else e
+        q = np.add.reduceat(np.square(base, dtype=np.int64), run_starts) if n_runs else e
+        mn = np.minimum.reduceat(base, run_starts) if n_runs else base[:0]
+        mx = np.maximum.reduceat(base, run_starts) if n_runs else base[:0]
+
+        # in-batch combine of the ~n_tokens/tier run partials by (source, bucket)
         src = batch["source"].to_numpy(zero_copy_only=False)
         uniq_src, src_code = np.unique(src, return_inverse=True)
-        code_per_pos = np.repeat(src_code.astype(np.int64), lens)
-
-        # combined group key: source_code * 2^40 | bucket  (bucket < 2^40 for
-        # any tier >= 1s within ~34k years of epoch-relative seconds)
-        key = (code_per_pos << 40) | bucket
-        k, cnt, s, q, mn, mx = lk.seg_moments_by_key(base, offs - offs[0], key)
-        out_src = uniq_src[(k >> 40).astype(np.int64)]
-        out_bucket = (k & ((1 << 40) - 1)).astype(np.int64)
-        tbl = _partials_table(out_src, out_bucket, cnt, s, q, mn, mx)
+        key = (src_code.astype(np.int64)[run_row] << 40) | run_bucket
+        order = np.argsort(key, kind="stable")
+        k = key[order]
+        boundary = np.empty(n_runs, dtype=bool)
+        if n_runs:
+            boundary[0] = True
+            boundary[1:] = k[1:] != k[:-1]
+        starts = np.flatnonzero(boundary)
+        tbl = _partials_table(
+            uniq_src[(k[starts] >> 40).astype(np.int64)],
+            (k[starts] & ((1 << 40) - 1)).astype(np.int64),
+            np.add.reduceat(cnt[order], starts) if n_runs else cnt[:0],
+            np.add.reduceat(s[order], starts) if n_runs else s[:0],
+            np.add.reduceat(q[order], starts) if n_runs else q[:0],
+            np.minimum.reduceat(mn[order], starts) if n_runs else mn[:0],
+            np.maximum.reduceat(mx[order], starts) if n_runs else mx[:0],
+        )
         if self.salt:
             # deterministic salt: spread *batches* of the same group across
             # S sub-groups; any stable per-batch value works — derive from
@@ -137,14 +173,14 @@ class RerollupPartials:
 
 
 def merge_partials(ds, salted: bool = False, strategy: str = "tree",
-                   combine_batch: int = 131_072):
+                   combine_batch: int = 1 << 20):
     """Merge per-batch partial moments into one row per (source, bucket).
 
     Integer moments are merge-order independent, so ANY merge topology gives
     bit-identical results — we pick by output cardinality, not semantics:
 
     - ``strategy="tree"`` (default): vectorized combiner tree — block-local
-      combine (``RerollupPartials`` over coalesced ~128k-row batches, each
+      combine (``RerollupPartials`` over coalesced ~1M-row batches, each
       capping its output at the number of distinct groups it saw), then
       ``repartition(1)`` + one final combine task.  No keyed shuffle at all:
       measured ~6x faster than Ray's sort-based aggregate, and immune to
