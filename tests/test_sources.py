@@ -1,0 +1,56 @@
+"""Reader-surface parity (thunder series.fromarray/fromlist/fromtext/
+fromrandom, SURVEY.md §2.1) — construct -> operate -> collect round trips."""
+
+import numpy as np
+import pytest
+
+from thunder_ray.sources import series as src
+
+
+def test_from_array_roundtrip(ray_session):
+    a = np.arange(24, dtype=np.int32).reshape(4, 6)
+    ds = src.from_array(a)
+    assert src.to_array(ds).tolist() == a.tolist()
+    assert ds.schema().names == ["doc_id", "tokens", "n_tok", "source"]
+
+
+def test_from_array_3d_flattens(ray_session):
+    a = np.arange(24, dtype=np.int32).reshape(2, 2, 6)
+    ds = src.from_array(a)
+    assert src.to_array(ds).shape == (4, 6)
+
+
+def test_from_list_with_accessor(ray_session):
+    items = [{"v": [1, 2, 3]}, {"v": [4, 5, 6]}]
+    ds = src.from_list(items, accessor=lambda r: r["v"])
+    assert src.to_array(ds).tolist() == [[1, 2, 3], [4, 5, 6]]
+
+
+def test_from_text(tmp_path, ray_session):
+    p = tmp_path / "series.txt"
+    p.write_text("7 1 2 3\n8 4 5 6\n")
+    ds = src.from_text(str(p), skip=1)
+    rows = sorted(ds.take_all(), key=lambda r: r["doc_id"])
+    assert [r["doc_id"] for r in rows] == ["7", "8"]
+    assert [list(r["tokens"]) for r in rows] == [[1, 2, 3], [4, 5, 6]]
+
+
+def test_from_random_deterministic(ray_session):
+    a = src.from_random(50).take_all()
+    b = src.from_random(50).take_all()
+    assert [list(r["tokens"]) for r in a] == [list(r["tokens"]) for r in b]
+
+
+def test_to_array_ragged_raises(ray_session):
+    ds = src.from_list([[1, 2], [3, 4, 5]])
+    with pytest.raises(ValueError):
+        src.to_array(ds)
+
+
+def test_constructed_series_feeds_rollup(ray_session):
+    """from_array output flows straight into the tier rollup."""
+    from thunder_ray.stages import rollup as ru
+
+    a = np.arange(40, dtype=np.int32).reshape(4, 10)
+    out = ru.rollup_tokens(src.from_array(a), 3600).take_all()
+    assert sum(r["count"] for r in out) == 40

@@ -178,19 +178,24 @@ def rollup_streaming(input_path: str, out_root: str | None = None,
     else:
         paths = [input_path]
     ds = read_tokens(paths, columns=cols, override_num_blocks=len(paths))
-    tiers_out = {}
-    cur = ru.rollup_tokens(ds, TIERS["1m"], t0_column=t0_column,
-                           batch_size=batch_size).materialize()
-    tiers_out["1m"] = cur
-    prev = "1m"
-    for tier in ("1h", "1d"):
-        cur = ru.rerollup(cur, TIERS[tier] // TIERS[prev]).materialize()
-        tiers_out[tier] = cur
-        prev = tier
-    metrics = {f"points_{t}": d.count() for t, d in tiers_out.items()}
-    if out_root:
-        for t, d in tiers_out.items():
-            _atomic_write_dir(d, os.path.join(out_root, f"tier={t}"))
+    partials = ds.map_batches(
+        ru.BucketizePartials(TIERS["1m"], t0_column=t0_column),
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size,
+    )
+    merged = ru.merge_partials(partials)
+    all_tiers = merged.map_batches(
+        ru.finalize_all_tiers, batch_format="pyarrow",
+        zero_copy_batch=True, batch_size=None,
+    ).materialize()
+    import pyarrow.dataset  # noqa: F401  (filter pushdown dep)
+
+    metrics = {}
+    for tier in ("1m", "1h", "1d"):
+        sub = all_tiers.filter(expr=f"tier == '{tier}'")
+        metrics[f"points_{tier}"] = sub.count()
+        if out_root:
+            _atomic_write_dir(sub.drop_columns(["tier"]),
+                              os.path.join(out_root, f"tier={tier}"))
     return metrics
 
 

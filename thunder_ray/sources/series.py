@@ -1,0 +1,123 @@
+"""Series constructors mirroring thunder's reader surface (SURVEY.md §2.1;
+thunder/series/readers.py).  Each returns a ``ray.data.Dataset`` with the
+canonical row shape ``(doc_id: string, tokens/values: list<T>, n_tok: int32,
+source: string)`` so every engine operator composes downstream.
+
+| thunder                | here        | Ray primitive                      |
+|------------------------|-------------|------------------------------------|
+| series.fromarray  :~30 | from_array  | ray.data.from_arrow (one block)    |
+| series.fromlist   :~80 | from_list   | from_items + accessor map          |
+| series.fromtext  :~120 | from_text   | read_text + per-line parse         |
+| series.frombinary:~170 | read_tokens | read_parquet (sources/tokens.py)   |
+| series.fromrandom:~240 | from_random | synth.synth_dataset (seeded blocks)|
+| series.fromexample     | n/a         | no external data; FIXTURES.md      |
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _table_from_2d(values: np.ndarray, source: str = "mem") -> pa.Table:
+    values = np.atleast_2d(np.asarray(values))
+    n, d = values.shape
+    flat = pa.array(values.reshape(-1).astype(np.int32, copy=False)
+                    if values.dtype.kind in "iu" else values.reshape(-1))
+    tokens = pa.ListArray.from_arrays(
+        pa.array(np.arange(0, (n + 1) * d, d, dtype=np.int32)), flat)
+    return pa.table({
+        "doc_id": pa.array([f"mem-{i:08d}" for i in range(n)], type=pa.string()),
+        "tokens": tokens,
+        "n_tok": pa.array(np.full(n, d, dtype=np.int32)),
+        "source": pa.array([source] * n, type=pa.string()),
+    })
+
+
+def from_array(values: np.ndarray, source: str = "mem", npartitions: int | None = None):
+    """thunder ``series.fromarray``: wrap an in-memory >=2-D array, last axis
+    = the series axis, one record per leading-axis element."""
+    import ray.data as rd
+
+    values = np.asarray(values)
+    if values.ndim > 2:
+        values = values.reshape(-1, values.shape[-1])
+    ds = rd.from_arrow(_table_from_2d(values, source))
+    if npartitions:
+        ds = ds.repartition(npartitions)
+    return ds
+
+
+def from_list(items, accessor=None, source: str = "mem"):
+    """thunder ``series.fromlist``: parallelize a list of records, optional
+    per-item ``accessor`` applied on workers via map_batches."""
+    import ray.data as rd
+
+    ds = rd.from_items([{"i": i, "item": x} for i, x in enumerate(items)])
+
+    def build(batch: pa.Table) -> pa.Table:
+        idx = batch["i"].to_pylist()
+        rows = batch["item"].to_pylist()
+        arrs = [np.asarray(accessor(r) if accessor else r) for r in rows]
+        lens = np.array([len(a) for a in arrs], dtype=np.int32)
+        flat = np.concatenate(arrs) if arrs else np.empty(0, dtype=np.int32)
+        offs = np.zeros(len(arrs) + 1, dtype=np.int32)
+        np.cumsum(lens, out=offs[1:])
+        return pa.table({
+            "doc_id": pa.array([f"mem-{i:08d}" for i in idx], type=pa.string()),
+            "tokens": pa.ListArray.from_arrays(pa.array(offs),
+                                               pa.array(flat.astype(np.int32))),
+            "n_tok": pa.array(lens),
+            "source": pa.array([source] * len(arrs), type=pa.string()),
+        })
+
+    return ds.map_batches(build, batch_format="pyarrow")
+
+
+def from_text(path, skip: int = 0, source: str = "txt"):
+    """thunder ``series.fromtext``: whitespace-separated integers per line;
+    the first ``skip`` fields are dropped (thunder: key fields)."""
+    import ray.data as rd
+
+    ds = rd.read_text(path)
+
+    def parse(batch) -> pa.Table:
+        lines = batch["text"].to_pylist()
+        arrs, ids = [], []
+        for ln in lines:
+            fields = ln.split()
+            if not fields:
+                continue
+            arrs.append(np.asarray(fields[skip:], dtype=np.int32))
+            ids.append(" ".join(fields[:skip]) if skip else f"line-{len(ids)}")
+        lens = np.array([len(a) for a in arrs], dtype=np.int32)
+        flat = np.concatenate(arrs) if arrs else np.empty(0, dtype=np.int32)
+        offs = np.zeros(len(arrs) + 1, dtype=np.int32)
+        np.cumsum(lens, out=offs[1:])
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.string()),
+            "tokens": pa.ListArray.from_arrays(pa.array(offs), pa.array(flat)),
+            "n_tok": pa.array(lens),
+            "source": pa.array([source] * len(arrs), type=pa.string()),
+        })
+
+    return ds.map_batches(parse, batch_format="pyarrow")
+
+
+def from_random(rows: int, rows_per_block: int = 10_000, seed: int = 42):
+    """thunder ``series.fromrandom``: the deterministic seeded-per-block
+    synthetic table (synth.py)."""
+    from ..synth import synth_dataset
+
+    return synth_dataset(rows, rows_per_block=rows_per_block, seed=seed)
+
+
+def to_array(ds, value_column: str = "tokens") -> np.ndarray:
+    """thunder ``toarray`` (collect): rows sorted by doc_id -> 2-D array
+    (requires uniform lengths, like thunder Series)."""
+    rows = ds.sort("doc_id").take_all()
+    arrs = [np.asarray(r[value_column]) for r in rows]
+    lens = {len(a) for a in arrs}
+    if len(lens) > 1:
+        raise ValueError("ragged series cannot convert to a dense array")
+    return np.stack(arrs) if arrs else np.empty((0, 0))

@@ -38,10 +38,26 @@ from . import listkernels as lk
 PARTIAL_COLS = ["source", "bucket", "count", "sum", "sumsq", "min", "max"]
 
 
-def _partials_table(src_arr, bucket, cnt, s, q, mn, mx) -> pa.Table:
+def _factorize_source(col) -> tuple[pa.Array, np.ndarray]:
+    """(dictionary: pa.Array of unique sources, codes: int64 ndarray) via
+    Arrow's C++ dictionary_encode — O(n) hashing, no Python-object sort.
+    Already-dictionary columns short-circuit (the partials tables carry
+    `source` dictionary-encoded end-to-end so the merge never touches
+    Python strings)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_dictionary(col.type):
+        return col.dictionary, col.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    d = col.dictionary_encode()
+    return d.dictionary, d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+
+
+def _partials_table(src_dict, src_codes, bucket, cnt, s, q, mn, mx) -> pa.Table:
+    src = pa.DictionaryArray.from_arrays(
+        pa.array(np.asarray(src_codes, dtype=np.int32), type=pa.int32()), src_dict)
     return pa.table(
         {
-            "source": pa.array(src_arr, type=pa.string()),
+            "source": src,
             "bucket": pa.array(bucket, type=pa.int64()),
             "count": pa.array(cnt, type=pa.int64()),
             "sum": pa.array(s, type=pa.int64()),
@@ -106,9 +122,10 @@ class BucketizePartials:
         mn = np.minimum.reduceat(base, run_starts) if n_runs else base[:0]
         mx = np.maximum.reduceat(base, run_starts) if n_runs else base[:0]
 
-        # in-batch combine of the ~n_tokens/tier run partials by (source, bucket)
-        src = batch["source"].to_numpy(zero_copy_only=False)
-        uniq_src, src_code = np.unique(src, return_inverse=True)
+        # in-batch combine of the ~n_tokens/tier run partials by (source, bucket);
+        # source factorization via Arrow dictionary_encode (C++ hash, no
+        # Python-string sort — np.unique on object arrays was the bottleneck)
+        uniq_src, src_code = _factorize_source(batch["source"])
         key = (src_code.astype(np.int64)[run_row] << 40) | run_bucket
         order = np.argsort(key, kind="stable")
         k = key[order]
@@ -118,7 +135,8 @@ class BucketizePartials:
             boundary[1:] = k[1:] != k[:-1]
         starts = np.flatnonzero(boundary)
         tbl = _partials_table(
-            uniq_src[(k[starts] >> 40).astype(np.int64)],
+            uniq_src,
+            (k[starts] >> 40),
             (k[starts] & ((1 << 40) - 1)).astype(np.int64),
             np.add.reduceat(cnt[order], starts) if n_runs else cnt[:0],
             np.add.reduceat(s[order], starts) if n_runs else s[:0],
@@ -143,9 +161,8 @@ class RerollupPartials:
         self.factor = int(factor)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        src = batch["source"].to_numpy(zero_copy_only=False)
         bucket = batch["bucket"].to_numpy(zero_copy_only=False) // self.factor
-        uniq_src, src_code = np.unique(src, return_inverse=True)
+        uniq_src, src_code = _factorize_source(batch["source"])
         key = (src_code.astype(np.int64) << 40) | bucket
         order = np.argsort(key, kind="stable")
         k = key[order]
@@ -162,7 +179,8 @@ class RerollupPartials:
             return ufunc.reduceat(v, starts) if len(starts) else v[:0]
 
         return _partials_table(
-            uniq_src[(k[starts] >> 40).astype(np.int64)],
+            uniq_src,
+            (k[starts] >> 40),
             (k[starts] & ((1 << 40) - 1)).astype(np.int64),
             red("count", np.add, np.int64),
             red("sum", np.add, np.int64),
@@ -173,15 +191,18 @@ class RerollupPartials:
 
 
 def merge_partials(ds, salted: bool = False, strategy: str = "tree",
-                   combine_batch: int = 1 << 20):
+                   combine_batch: int | None = None):
     """Merge per-batch partial moments into one row per (source, bucket).
 
     Integer moments are merge-order independent, so ANY merge topology gives
     bit-identical results — we pick by output cardinality, not semantics:
 
     - ``strategy="tree"`` (default): vectorized combiner tree — block-local
-      combine (``RerollupPartials`` over coalesced ~1M-row batches, each
-      capping its output at the number of distinct groups it saw), then
+      combine (``RerollupPartials`` per block: combine_batch=None is
+      CRITICAL — a row-count batch size makes Ray coalesce upstream blocks
+      into huge batches, collapsing the fused scan stage to ~2 tasks and
+      destroying scan parallelism; measured), each block-combine capping
+      its output at the number of distinct groups it saw, then
       ``repartition(1)`` + one final combine task.  No keyed shuffle at all:
       measured ~6x faster than Ray's sort-based aggregate, and immune to
       source-key skew (hot groups are squashed inside every batch before any
@@ -199,12 +220,29 @@ def merge_partials(ds, salted: bool = False, strategy: str = "tree",
             RerollupPartials(1), batch_format="pyarrow",
             zero_copy_batch=True, batch_size=combine_batch,
         )
-        return combined.repartition(1).map_batches(
+        # level 2: fan-in to `fanin` parallel combines (each bounded by the
+        # group cardinality), then one tiny final combine
+        level2 = combined.repartition(8).map_batches(
+            RerollupPartials(1), batch_format="pyarrow",
+            zero_copy_batch=True, batch_size=None,
+        )
+        return level2.repartition(1).map_batches(
             RerollupPartials(1), batch_format="pyarrow",
             zero_copy_batch=True, batch_size=None,
         )
 
     from ray.data.aggregate import Max, Min, Sum
+
+    def _undict(batch: pa.Table) -> pa.Table:
+        src = batch["source"]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        if pa.types.is_dictionary(src.type):
+            batch = batch.set_column(batch.column_names.index("source"),
+                                     "source", src.cast(pa.string()))
+        return batch
+
+    ds = ds.map_batches(_undict, batch_format="pyarrow", zero_copy_batch=True)
 
     def aggs():
         return [
@@ -229,10 +267,14 @@ def finalize_tier(batch: pa.Table) -> pa.Table:
     s = batch["sum"].to_numpy(zero_copy_only=False).astype(np.int64)
     q = batch["sumsq"].to_numpy(zero_copy_only=False).astype(np.int64)
     mean, m2 = derive_mean_m2(cnt, s, q)
+    src = batch["source"]
+    if isinstance(src, pa.ChunkedArray):
+        src = src.combine_chunks()
+    if pa.types.is_dictionary(src.type):
+        src = src.cast(pa.string())
     return pa.table(
         {
-            "source": batch["source"].combine_chunks()
-            if isinstance(batch["source"], pa.ChunkedArray) else batch["source"],
+            "source": src,
             "bucket": pa.array(batch["bucket"].to_numpy(zero_copy_only=False).astype(np.int64)),
             "count": pa.array(cnt),
             "sum": pa.array(s),
@@ -257,6 +299,22 @@ def rollup_tokens(ds, tier_seconds: int, t0_column: str | None = None,
     merged = merge_partials(partials, salted=bool(salt),
                             strategy="groupby" if salt else "tree")
     return merged.map_batches(finalize_tier, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def finalize_all_tiers(batch: pa.Table) -> pa.Table:
+    """Merged base-tier (1m) partials -> ALL retention tiers in one task,
+    tier-tagged (`tier` column).  Re-rollups touch only rolled points (~1e4x
+    smaller than raw), so computing 1m+1h+1d in a single pass removes four
+    sequential Ray executions of fixed latency from the tier chain — the
+    serial floor measured in BENCH (the merged tier fits one task by the
+    same cardinality argument as merge_partials strategy='tree')."""
+    out = []
+    prev = batch
+    for tier, factor in (("1m", 1), ("1h", 60), ("1d", 24)):
+        prev = RerollupPartials(factor)(prev)
+        out.append(finalize_tier(prev).append_column(
+            "tier", pa.array([tier] * len(prev), type=pa.string())))
+    return pa.concat_tables(out)
 
 
 def rerollup(ds_tier, factor: int, batch_size: int | None = 8192):

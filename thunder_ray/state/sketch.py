@@ -38,9 +38,14 @@ from ..stages.rollup import BucketizePartials, finalize_tier
 def _content_key(tbl: pa.Table) -> str:
     h = hashlib.md5()
     for col in ("source", "bucket", "count", "sum"):
-        h.update(tbl[col].to_numpy(zero_copy_only=False).astype("U").tobytes()
-                 if tbl.schema.field(col).type == pa.string()
-                 else tbl[col].to_numpy(zero_copy_only=False).tobytes())
+        c = tbl[col]
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        if pa.types.is_dictionary(c.type) or pa.types.is_string(c.type):
+            h.update("\x00".join(c.cast(pa.string()).to_pylist()).encode())
+        else:
+            h.update(np.ascontiguousarray(
+                c.to_numpy(zero_copy_only=False)).tobytes())
     return h.hexdigest()
 
 
