@@ -146,6 +146,38 @@ def minhash_signature(shingles: set) -> np.ndarray:
     return lanes.min(axis=1)
 
 
+
+def _pairs_via_self_join(band_rows, key_cols):
+    """Candidate pairs = self-join of band rows on the bucket key (C++ hash
+    join) — replaces per-bucket ``map_groups`` (pandas per tiny group was
+    the dominant cost at 5k docs: tens of thousands of ~1-row groups).
+    Output deduplicated (a pair can match in several bands)."""
+    right = band_rows.map_batches(
+        lambda b: b.rename_columns(
+            [c if c in key_cols else c + "_r" for c in b.column_names]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    joined = band_rows.join(right, "inner", 8, on=tuple(key_cols))
+
+    def emit(batch: pa.Table) -> pa.Table:
+        a = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch["doc_id_r"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = a < b
+        return pa.table({"doc_lo": _i64(a[keep]), "doc_hi": _i64(b[keep])})
+
+    pairs = joined.map_batches(emit, batch_format="pyarrow", zero_copy_batch=True)
+
+    def dedupe(batch: pa.Table) -> pa.Table:
+        a = batch["doc_lo"].to_numpy(zero_copy_only=False)
+        b = batch["doc_hi"].to_numpy(zero_copy_only=False)
+        key = (a.astype(np.int64) << 32) | b.astype(np.int64)
+        _, idx = np.unique(key, return_index=True)
+        return pa.table({"doc_lo": _i64(a[idx]), "doc_hi": _i64(b[idx])})
+
+    # near-dup pair sets are small: single-task dedupe
+    return pairs.repartition(1).map_batches(
+        dedupe, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+
+
 def minhash_lsh_pairs_documents(sf_dir: str):
     """Near-dup candidate pairs via LSH banding, verified by true Jaccard.
 
@@ -185,17 +217,7 @@ def minhash_lsh_pairs_documents(sf_dir: str):
     band_rows = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
         bands, batch_format="pyarrow", zero_copy_batch=True)
 
-    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g["doc_id"].to_numpy(np.int64))
-        if len(ids) < 2:
-            return pd.DataFrame({"doc_lo": pd.Series([], dtype=np.int64),
-                                 "doc_hi": pd.Series([], dtype=np.int64)})
-        lo, hi = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"doc_lo": ids[lo], "doc_hi": ids[hi]})
-
-    cand = band_rows.groupby(["band", "bucket"]).map_groups(
-        emit_pairs, batch_format="pandas").groupby(["doc_lo", "doc_hi"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas")
+    cand = _pairs_via_self_join(band_rows, ("band", "bucket"))
 
     class Verify:
         def __init__(self):
@@ -263,17 +285,7 @@ def simhash_pairs_documents(sf_dir: str):
     band_rows = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
         bands, batch_format="pyarrow", zero_copy_batch=True)
 
-    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g["doc_id"].to_numpy(np.int64))
-        if len(ids) < 2:
-            return pd.DataFrame({"doc_lo": pd.Series([], dtype=np.int64),
-                                 "doc_hi": pd.Series([], dtype=np.int64)})
-        lo, hi = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"doc_lo": ids[lo], "doc_hi": ids[hi]})
-
-    cand = band_rows.groupby(["band", "key"]).map_groups(
-        emit_pairs, batch_format="pandas").groupby(["doc_lo", "doc_hi"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas")
+    cand = _pairs_via_self_join(band_rows, ("band", "key"))
 
     class Verify:
         def __init__(self):
