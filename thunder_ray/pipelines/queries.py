@@ -569,11 +569,13 @@ def build_queries() -> dict:
     from .dedup import build_dedup_queries
     from .queries2 import build_queries2
     from .queries3 import build_queries3
+    from .queries4 import build_queries4
     from .textops import build_textops_queries
 
     return {
         **build_queries2(),
         **build_queries3(),
+        **build_queries4(),
         **build_textops_queries(),
         **build_dedup_queries(),
         **build_ann_queries(),
@@ -602,11 +604,13 @@ def build_oracle_sql() -> dict:
     from .dedup import build_dedup_sql
     from .queries2 import build_oracle_sql2
     from .queries3 import build_oracle_sql3
+    from .queries4 import build_oracle_sql4
     from .textops import build_textops_sql
 
     return {
         **build_oracle_sql2(),
         **build_oracle_sql3(),
+        **build_oracle_sql4(),
         **build_textops_sql(),
         **build_dedup_sql(),
         **build_ann_sql(),

@@ -1,0 +1,229 @@
+"""Driver-contract queries, pack 4: windowed aggregation over rolled tiers,
+retention expiry, and an as-of join — the north rule's remaining named
+capabilities ("windowed aggregation", "retention tiers") plus the classic
+time-series operator Ray Data lacks natively (as-of join; SURVEY.md 'Custom
+operators' bullet (a): composition of sort + map_groups).
+
+Partitioning assumptions (documented per the custom-operator rule):
+- rolling window + as-of join group by the series key (source / event_type):
+  one group per key must fit a worker (bounded by buckets-per-retention
+  horizon; shard by (key, day) beyond that).
+- retention is a stateless filter — embarrassingly parallel.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+ROLL_WINDOW = 5          # buckets per rolling window (ROWS 4 PRECEDING)
+RETENTION_BUCKETS = 600  # keep the newest N 1m buckets per source
+
+
+def _i64(arr) -> pa.Array:
+    return pa.array(np.asarray(arr, dtype=np.int64), type=pa.int64())
+
+
+# ---------------------------------------------------------------------------
+# Rolling-window aggregate over the 1m tier (exact ints -> exact mean)
+
+def rolling_mean_1m(sf_dir: str):
+    """Per (source, bucket): mean over the trailing ROLL_WINDOW buckets'
+    token sums/counts (count-weighted, edges use the available prefix).
+    Exact: rolling sums are int64; mean = float64(wsum)/wcnt once."""
+    from .queries import rollup_documents
+
+    tier = rollup_documents(sf_dir, 60)
+
+    def roll(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("bucket")
+        s = g["sum"].to_numpy(np.int64)
+        c = g["count"].to_numpy(np.int64)
+        ws = pd.Series(s).rolling(ROLL_WINDOW, min_periods=1).sum().to_numpy().astype(np.int64)
+        wc = pd.Series(c).rolling(ROLL_WINDOW, min_periods=1).sum().to_numpy().astype(np.int64)
+        return pd.DataFrame({
+            "source": g["source"].to_numpy(),
+            "bucket": g["bucket"].to_numpy(np.int64),
+            "wsum": ws,
+            "wcount": wc,
+            "wmean": ws.astype(np.float64) / wc,
+        })
+
+    return tier.groupby("source").map_groups(roll, batch_format="pandas")
+
+
+def _rolling_mean_sql() -> str:
+    from .queries import _rollup_sql
+
+    return f"""
+WITH t AS ({_rollup_sql(60)})
+SELECT source, CAST(bucket AS BIGINT) AS bucket,
+       CAST(SUM(sum) OVER w AS BIGINT) AS wsum,
+       CAST(SUM(count) OVER w AS BIGINT) AS wcount,
+       CAST(SUM(sum) OVER w AS DOUBLE) / SUM(count) OVER w AS wmean
+FROM t
+WINDOW w AS (PARTITION BY source ORDER BY bucket
+             ROWS BETWEEN {ROLL_WINDOW - 1} PRECEDING AND CURRENT ROW)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Retention expiry: keep only the newest RETENTION_BUCKETS buckets per source
+
+def retention_1m(sf_dir: str):
+    """The retention policy applied to the 1m tier: drop buckets older than
+    (per-source max bucket - RETENTION_BUCKETS).  Two passes: a tiny
+    groupby-max (broadcastable cutoffs), then a stateless filter —
+    the expiry never touches raw tokens."""
+    from ray.data.aggregate import Max
+
+    from .queries import rollup_documents
+
+    tier = rollup_documents(sf_dir, 60)
+    cutoffs = {
+        r["source"]: int(r["max_bucket"]) - RETENTION_BUCKETS
+        for r in tier.groupby("source").aggregate(
+            Max("bucket", alias_name="max_bucket")).take_all()
+    }
+    import ray
+
+    cut_ref = ray.put(cutoffs)
+
+    class Keep:
+        def __init__(self):
+            self.cut = ray.get(cut_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            src = batch["source"].to_numpy(zero_copy_only=False)
+            b = batch["bucket"].to_numpy(zero_copy_only=False)
+            cut = np.array([self.cut[s] for s in src], dtype=np.int64)
+            return batch.filter(pa.array(b > cut))
+
+    return tier.map_batches(Keep, concurrency=(1, 4), batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
+def _retention_sql() -> str:
+    from .queries import _rollup_sql
+
+    return f"""
+WITH t AS ({_rollup_sql(60)})
+SELECT * FROM (
+  SELECT *, MAX(bucket) OVER (PARTITION BY source) AS mx FROM t
+) WHERE bucket > mx - {RETENTION_BUCKETS}
+"""
+
+
+# Column sets must match: strip the helper column on the SQL side via
+# explicit projection (same columns as rollup_1m).
+RETENTION_SQL = None  # built in build_oracle_sql4 (needs _rollup_sql)
+
+
+# ---------------------------------------------------------------------------
+# As-of join: each event joined to the latest 1m rolled point of its
+# event_type at-or-before the event's bucket (sort + merge per key group —
+# the composition pattern for operators Ray Data lacks natively)
+
+def asof_join_events_1m(sf_dir: str):
+    import ray.data as rd
+
+    from .queries2 import _events_rollup
+
+    tier = _events_rollup(sf_dir, 60)  # (event_type, bucket, count, sum_s)
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "event_type"])
+
+    def ev_bucket(batch: pa.Table) -> pa.Table:
+        ts_us = batch["ts"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        return pa.table({
+            "event_id": _i64(batch["event_id"].to_numpy(zero_copy_only=False)),
+            "event_type": batch["event_type"].combine_chunks()
+            if isinstance(batch["event_type"], pa.ChunkedArray) else batch["event_type"],
+            "ebucket": _i64(ts_us // 1_000_000 // 60),
+            "side": _i64(np.ones(len(batch), dtype=np.int64)),
+        })
+
+    evb = ev.map_batches(ev_bucket, batch_format="pyarrow", zero_copy_batch=True)
+
+    def tier_rows(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": _i64(np.full(len(batch), -1, dtype=np.int64)),
+            "event_type": batch["event_type"].combine_chunks()
+            if isinstance(batch["event_type"], pa.ChunkedArray) else batch["event_type"],
+            "ebucket": _i64(batch["bucket"].to_numpy(zero_copy_only=False)),
+            "side": _i64(np.zeros(len(batch), dtype=np.int64)),
+            "t_count": _i64(batch["count"].to_numpy(zero_copy_only=False)),
+            "t_sum": _i64(batch["sum_s"].to_numpy(zero_copy_only=False)),
+        })
+
+    tb = tier.map_batches(tier_rows, batch_format="pyarrow", zero_copy_batch=True)
+
+    def asof(g: pd.DataFrame) -> pd.DataFrame:
+        # vectorized as-of: tier buckets sorted, searchsorted per event
+        side = g["side"].to_numpy(np.int64)
+        tg = g[side == 0].sort_values("ebucket")
+        eg = g[side == 1]
+        tb = tg["ebucket"].to_numpy(np.int64)
+        idx = np.searchsorted(tb, eg["ebucket"].to_numpy(np.int64), side="right") - 1
+        keep = idx >= 0
+        sel = idx[keep]
+        return pd.DataFrame({
+            "event_id": eg["event_id"].to_numpy(np.int64)[keep],
+            "asof_bucket": tb[sel],
+            "asof_count": tg["t_count"].to_numpy(np.int64)[sel],
+            "asof_sum": tg["t_sum"].to_numpy(np.int64)[sel],
+        })
+
+    merged = evb.union(tb)
+    return merged.groupby("event_type").map_groups(asof, batch_format="pandas")
+
+
+ASOF_JOIN_SQL = """
+WITH t AS (
+  SELECT event_type, bucket,
+         CAST(COUNT(*) AS BIGINT) AS t_count,
+         CAST(SUM(v) AS BIGINT) AS t_sum
+  FROM (SELECT event_type,
+               (epoch_us(ts) // 1000000) // 60 AS bucket,
+               CAST(floor(value * 1000000) AS BIGINT) AS v
+        FROM events)
+  GROUP BY event_type, bucket
+),
+ev AS (
+  SELECT event_id, event_type, (epoch_us(ts) // 1000000) // 60 AS ebucket
+  FROM events
+)
+SELECT CAST(ev.event_id AS BIGINT) AS event_id,
+       CAST(t.bucket AS BIGINT) AS asof_bucket,
+       t.t_count AS asof_count,
+       t.t_sum AS asof_sum
+FROM ev ASOF JOIN t
+  ON ev.event_type = t.event_type AND ev.ebucket >= t.bucket
+"""
+
+
+def build_queries4() -> dict:
+    return {
+        "rolling_mean_1m": rolling_mean_1m,
+        "retention_1m": retention_1m,
+        "asof_join_events_1m": asof_join_events_1m,
+    }
+
+
+def build_oracle_sql4() -> dict:
+    from .queries import _rollup_sql
+
+    retention_sql = f"""
+WITH t AS ({_rollup_sql(60)})
+SELECT source, bucket, count, sum, min, max, mean, m2 FROM (
+  SELECT *, MAX(bucket) OVER (PARTITION BY source) AS mx FROM t
+) WHERE bucket > mx - {RETENTION_BUCKETS}
+"""
+    return {
+        "rolling_mean_1m": _rolling_mean_sql(),
+        "retention_1m": retention_sql,
+        "asof_join_events_1m": ASOF_JOIN_SQL,
+    }
