@@ -1,0 +1,120 @@
+"""Images stack vs naive per-frame oracles (thunder test_images.py style)."""
+
+import numpy as np
+import pytest
+
+from thunder_ray.stages import images as im
+
+RNG = np.random.default_rng(11)
+CUBE = RNG.integers(0, 100, size=(6, 8, 10)).astype(np.int32)  # (t, h, w)
+
+
+@pytest.fixture(scope="module")
+def frames(ray_session):
+    return im.images_from_table(im.frames_from_array(CUBE))
+
+
+def _naive_box_mean(frame, size):
+    r = size // 2
+    p = np.pad(frame.astype(np.float64), r, mode="symmetric")
+    h, w = frame.shape
+    out = np.empty((h, w))
+    for i in range(h):
+        for j in range(w):
+            out[i, j] = p[i: i + size, j: j + size].mean()
+    return out
+
+
+def _naive_median(frame, size):
+    r = size // 2
+    p = np.pad(frame, r, mode="symmetric")
+    h, w = frame.shape
+    out = np.empty((h, w), dtype=np.float64)
+    for i in range(h):
+        for j in range(w):
+            out[i, j] = np.median(p[i: i + size, j: j + size])
+    return out
+
+
+def _naive_gaussian(frame, sigma, truncate=4.0):
+    r = int(truncate * sigma + 0.5)
+    x = np.arange(-r, r + 1, dtype=np.float64)
+    k = np.exp(-0.5 * (x / sigma) ** 2)
+    k /= k.sum()
+    p = np.pad(frame.astype(np.float64), r, mode="symmetric")
+    tmp = np.zeros((frame.shape[0] + 2 * r, frame.shape[1]))
+    for j in range(2 * r + 1):
+        tmp += p[:, j: j + frame.shape[1]] * k[j]
+    out = np.zeros(frame.shape)
+    for j in range(2 * r + 1):
+        out += tmp[j: j + frame.shape[0], :] * k[j]
+    return out
+
+
+def _collect(ds, value_col="value"):
+    rows = ds.take_all()
+    out = {}
+    for r in rows:
+        out.setdefault(r["frame_id"], {})[r["pos"]] = r[value_col]
+    return out
+
+
+def test_max_projection(frames):
+    got = _collect(im.max_projection(frames, axis=0))
+    for t in range(CUBE.shape[0]):
+        want = CUBE[t].max(axis=0)
+        assert [got[t][p] for p in range(len(want))] == want.tolist()
+
+
+def test_max_min_projection(frames):
+    rows = im.max_min_projection(frames, axis=1).take_all()
+    for r in rows[:20]:
+        t, p = r["frame_id"], r["pos"]
+        assert r["vmax"] == CUBE[t, p, :].max()
+        assert r["vmin"] == CUBE[t, p, :].min()
+
+
+def test_spatial_subsample(frames):
+    rows = im.spatial_subsample(frames, 2).take_all()
+    for r in rows:
+        got = np.asarray(r["image"]).reshape(r["height"], r["width"])
+        assert np.array_equal(got, CUBE[r["frame_id"], ::2, ::2])
+
+
+def test_subtract(frames):
+    rows = im.subtract(frames, 7).take_all()
+    for r in rows[:3]:
+        got = np.asarray(r["image"]).reshape(8, 10)
+        assert np.array_equal(got, CUBE[r["frame_id"]] - 7)
+
+
+def test_uniform_filter(frames):
+    rows = im.uniform_filter(frames, 3).take_all()
+    for r in rows:
+        got = np.asarray(r["image"]).reshape(8, 10)
+        want = _naive_box_mean(CUBE[r["frame_id"]], 3)
+        assert np.allclose(got, want)
+
+
+def test_median_filter(frames):
+    rows = im.median_filter(frames, 3).take_all()
+    for r in rows:
+        got = np.asarray(r["image"]).reshape(8, 10)
+        want = _naive_median(CUBE[r["frame_id"]], 3)
+        assert np.allclose(got, want)
+
+
+def test_gaussian_filter(frames):
+    rows = im.gaussian_filter(frames, sigma=1.2).take_all()
+    for r in rows:
+        got = np.asarray(r["image"]).reshape(8, 10)
+        want = _naive_gaussian(CUBE[r["frame_id"]], 1.2)
+        assert np.allclose(got, want)
+
+
+def test_toseries_is_exact_transpose(frames):
+    rows = im.toseries(frames, chunks=5).take_all()
+    assert len(rows) == 8 * 10
+    flat = CUBE.reshape(CUBE.shape[0], -1)    # (t, pixels)
+    for r in rows:
+        assert np.array_equal(np.asarray(r["series"]), flat[:, r["pixel_id"]])

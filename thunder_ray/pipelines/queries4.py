@@ -205,11 +205,102 @@ FROM ev ASOF JOIN t
 """
 
 
+# ---------------------------------------------------------------------------
+# Images over embeddings-as-frames (vec -> 8x8 frame of 1e6-scaled ints):
+# thunder Images ops + the toseries transpose shuffle, bit-exact oracles.
+
+def _frames_from_embeddings(sf_dir: str):
+    import ray.data as rd
+
+    from ..stages import listkernels as lk
+    from ..stages import signal as sg
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+
+    def to_frames(batch: pa.Table) -> pa.Table:
+        vals, offs = lk.list_parts(batch["embedding"])
+        Y = np.floor(sg.as_2d(vals, offs).astype(np.float64) * 1e6).astype(np.int64)
+        n = len(Y)
+        return pa.table({
+            "frame_id": _i64(batch["vec_id"].to_numpy(zero_copy_only=False)),
+            "image": pa.ListArray.from_arrays(
+                pa.array(np.arange(0, (n + 1) * 64, 64, dtype=np.int32)),
+                pa.array(Y.reshape(-1))),
+            "height": pa.array(np.full(n, 8, dtype=np.int32)),
+            "width": pa.array(np.full(n, 8, dtype=np.int32)),
+        })
+
+    return ds.map_batches(to_frames, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def images_max_projection_embeddings(sf_dir: str):
+    """thunder Images.max_projection (images.py:~200) over 8x8 frames."""
+    from ..stages import images as im
+
+    return im.max_projection(_frames_from_embeddings(sf_dir), axis=0)
+
+
+IMAGES_MAX_PROJ_SQL = """
+WITH flat AS (
+  SELECT vec_id, pos % 8 AS col,
+         CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS v
+  FROM (SELECT vec_id, unnest(embedding) AS x,
+               unnest(range(len(embedding))) AS pos FROM embeddings)
+)
+SELECT CAST(vec_id AS BIGINT) AS frame_id, CAST(col AS BIGINT) AS pos,
+       CAST(MAX(v) AS BIGINT) AS value
+FROM flat GROUP BY vec_id, col
+"""
+
+
+def images_toseries_stats(sf_dir: str):
+    """Images.toseries transpose shuffle (thunder blocks/blocks.py) ->
+    per-pixel stats across frames; oracle = plain GROUP BY pixel position,
+    proving the all-to-all is lossless and bit-exact."""
+    from ..stages import images as im
+
+    series = im.toseries(_frames_from_embeddings(sf_dir), chunks=8)
+
+    def stats(batch) -> pa.Table:
+        import pandas as pd
+
+        pix = batch["pixel_id"].to_numpy()
+        out = {"pixel_id": [], "count": [], "sum": [], "min": [], "max": []}
+        for p, s in zip(pix, batch["series"]):
+            a = np.asarray(s).astype(np.int64)
+            out["pixel_id"].append(int(p))
+            out["count"].append(len(a))
+            out["sum"].append(int(a.sum()))
+            out["min"].append(int(a.min()))
+            out["max"].append(int(a.max()))
+        return pa.table({k: _i64(v) for k, v in out.items()})
+
+    return series.map_batches(stats, batch_format="pyarrow")
+
+
+IMAGES_TOSERIES_SQL = """
+WITH flat AS (
+  SELECT pos, CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS v
+  FROM (SELECT unnest(embedding) AS x,
+               unnest(range(len(embedding))) AS pos FROM embeddings)
+)
+SELECT CAST(pos AS BIGINT) AS pixel_id,
+       CAST(COUNT(*) AS BIGINT) AS count,
+       CAST(SUM(v) AS BIGINT) AS sum,
+       CAST(MIN(v) AS BIGINT) AS min,
+       CAST(MAX(v) AS BIGINT) AS max
+FROM flat GROUP BY pos
+"""
+
+
 def build_queries4() -> dict:
     return {
         "rolling_mean_1m": rolling_mean_1m,
         "retention_1m": retention_1m,
         "asof_join_events_1m": asof_join_events_1m,
+        "images_max_projection_embeddings": images_max_projection_embeddings,
+        "images_toseries_stats": images_toseries_stats,
     }
 
 
@@ -226,4 +317,6 @@ SELECT source, bucket, count, sum, min, max, mean, m2 FROM (
         "rolling_mean_1m": _rolling_mean_sql(),
         "retention_1m": retention_sql,
         "asof_join_events_1m": ASOF_JOIN_SQL,
+        "images_max_projection_embeddings": IMAGES_MAX_PROJ_SQL,
+        "images_toseries_stats": IMAGES_TOSERIES_SQL,
     }
