@@ -48,52 +48,109 @@ def _shingle_set(text: str) -> set:
 
 
 # ---------------------------------------------------------------------------
-# Exact n-gram Jaccard all-pairs (broadcast small side; SQL twin)
+# Distributed shingle rows (no driver-side materialization anywhere)
 
-def ngram_jaccard_pairs_documents(sf_dir: str):
-    """All doc pairs with 3-word-shingle Jaccard >= JACCARD_T.
+def _shingle_rows(sf_dir: str):
+    """(doc_id, gram_hash: uint64->int64, n_doc) — one row per DISTINCT
+    shingle per doc, fully distributed (flat_map-style map_batches)."""
 
-    Ray plan: collect (doc_id, shingle_set) once (small at test scale),
-    ``ray.put`` broadcast, then each map_batches task compares ITS rows
-    against the full broadcast side — O(n^2) work distributed over tasks
-    with zero shuffle.  jaccard = inter/union on exact ints -> bit-exact.
-    """
-    import ray
-
-    docs = _read_docs(sf_dir, ["doc_id", "text"]).take_all()
-    sets = [(int(r["doc_id"]), _shingle_set(r["text"])) for r in docs]
-    sets.sort()
-    ref = ray.put(sets)
-
-    class Compare:
-        def __init__(self):
-            self.sets = ray.get(ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            doc = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-            texts = batch["text"].to_pylist()
-            lo, hi, jac = [], [], []
-            for d, t in zip(doc, texts):
-                s = _shingle_set(t)
-                for d2, s2 in self.sets:
-                    if d2 <= d:
-                        continue
-                    inter = len(s & s2)
-                    if inter == 0:
-                        continue
-                    union = len(s) + len(s2) - inter
-                    j = inter / union
-                    if j >= JACCARD_T:
-                        lo.append(d)
-                        hi.append(d2)
-                        jac.append(j)
-            return pa.table({
-                "doc_lo": _i64(lo), "doc_hi": _i64(hi),
-                "jaccard": pa.array(np.asarray(jac, dtype=np.float64)),
-            })
+    def rows(batch: pa.Table) -> pa.Table:
+        doc = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = batch["text"].to_pylist()
+        out_doc, out_h, out_n = [], [], []
+        for d, t in zip(doc, texts):
+            sset = sorted(_shingle_set(t))
+            h = _stable_u64(sset).astype(np.int64)
+            out_doc.append(np.full(len(h), d, dtype=np.int64))
+            out_h.append(h)
+            out_n.append(np.full(len(h), len(h), dtype=np.int64))
+        return pa.table({
+            "doc_id": _i64(np.concatenate(out_doc) if out_doc else []),
+            "gram": _i64(np.concatenate(out_h) if out_h else []),
+            "n_doc": _i64(np.concatenate(out_n) if out_n else []),
+        })
 
     return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
-        Compare, concurrency=(1, 4), batch_format="pyarrow", zero_copy_batch=True)
+        rows, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _combine_pair_counts(matches):
+    """(doc_lo, doc_hi, n_lo, n_hi) match rows -> one row per pair with the
+    match count ``i`` — the same vectorized combiner tree as
+    rollup.merge_partials (Ray's sort-based groupby-aggregate measured ~10x
+    slower on this shape).  Pair key packs into one int64 (doc ids < 2^31)."""
+
+    def combine(batch: pa.Table) -> pa.Table:
+        lo = batch["doc_lo"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hi = batch["doc_hi"].to_numpy(zero_copy_only=False).astype(np.int64)
+        key = (lo << 31) | hi
+        order = np.argsort(key, kind="stable")
+        k = key[order]
+        boundary = np.empty(len(k), dtype=bool)
+        if len(k):
+            boundary[0] = True
+            boundary[1:] = k[1:] != k[:-1]
+        starts = np.flatnonzero(boundary)
+        cnt_col = (batch["i"].to_numpy(zero_copy_only=False).astype(np.int64)
+                   if "i" in batch.column_names else np.ones(len(k), dtype=np.int64))
+        return pa.table({
+            "doc_lo": _i64(k[starts] >> 31),
+            "doc_hi": _i64(k[starts] & ((1 << 31) - 1)),
+            "i": _i64(np.add.reduceat(cnt_col[order], starts)
+                      if len(starts) else cnt_col[:0]),
+            "n_lo": _i64(batch["n_lo"].to_numpy(zero_copy_only=False)[order][starts]),
+            "n_hi": _i64(batch["n_hi"].to_numpy(zero_copy_only=False)[order][starts]),
+        })
+
+    level1 = matches.map_batches(combine, batch_format="pyarrow",
+                                 zero_copy_batch=True, batch_size=None)
+    return level1.repartition(1).map_batches(
+        combine, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+
+
+def _pair_jaccard(inter_counts):
+    """(doc_lo, doc_hi, i, n_lo, n_hi) table -> filtered jaccard table."""
+
+    def jac(batch: pa.Table) -> pa.Table:
+        i = batch["i"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nl = batch["n_lo"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nh = batch["n_hi"].to_numpy(zero_copy_only=False).astype(np.int64)
+        j = i.astype(np.float64) / (nl + nh - i)
+        keep = j >= JACCARD_T
+        return pa.table({
+            "doc_lo": _i64(batch["doc_lo"].to_numpy(zero_copy_only=False)[keep]),
+            "doc_hi": _i64(batch["doc_hi"].to_numpy(zero_copy_only=False)[keep]),
+            "jaccard": pa.array(j[keep]),
+        })
+
+    return inter_counts.map_batches(jac, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def ngram_jaccard_pairs_documents(sf_dir: str):
+    """All doc pairs with 3-word-shingle Jaccard >= JACCARD_T — fully
+    distributed, mirroring the SQL oracle's plan: shingle rows self-joined
+    on the gram (hash join), intersection counts via groupby(pair), sizes
+    carried on the shingle rows.  jaccard = i/(n_lo+n_hi-i) on exact ints.
+    (Shingles compare by 64-bit SipHash — collision probability ~1e-14 per
+    corpus, the only deviation from the string-equality SQL twin.)"""
+    sh = _shingle_rows(sf_dir)
+    right = sh.map_batches(
+        lambda b: b.rename_columns(["doc_hi", "gram", "n_hi"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    joined = sh.join(right, "inner", 8, on=("gram",))
+
+    def keep_lo_hi(batch: pa.Table) -> pa.Table:
+        a = batch["doc_id"].to_numpy(zero_copy_only=False)
+        b = batch["doc_hi"].to_numpy(zero_copy_only=False)
+        m = a < b
+        return pa.table({
+            "doc_lo": _i64(a[m]), "doc_hi": _i64(b[m]),
+            "n_lo": _i64(batch["n_doc"].to_numpy(zero_copy_only=False)[m]),
+            "n_hi": _i64(batch["n_hi"].to_numpy(zero_copy_only=False)[m]),
+        })
+
+    matches = joined.map_batches(keep_lo_hi, batch_format="pyarrow", zero_copy_batch=True)
+    return _pair_jaccard(_combine_pair_counts(matches))
 
 
 NGRAM_JACCARD_SQL = f"""
@@ -190,12 +247,6 @@ def minhash_lsh_pairs_documents(sf_dir: str):
     threshold J>=0.35 recall is imperfect BY DESIGN (approximate operator):
     driver check is rows-only; pytest pins recall on planted duplicates.
     """
-    import ray
-
-    docs = _read_docs(sf_dir, ["doc_id", "text"]).take_all()
-    shingle_sets = {int(r["doc_id"]): _shingle_set(r["text"]) for r in docs}
-    sets_ref = ray.put(shingle_sets)
-
     def bands(batch: pa.Table) -> pa.Table:
         doc = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         texts = batch["text"].to_pylist()
@@ -219,25 +270,19 @@ def minhash_lsh_pairs_documents(sf_dir: str):
 
     cand = _pairs_via_self_join(band_rows, ("band", "bucket"))
 
-    class Verify:
-        def __init__(self):
-            self.sets = ray.get(sets_ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            lo = batch["doc_lo"].to_numpy(zero_copy_only=False).astype(np.int64)
-            hi = batch["doc_hi"].to_numpy(zero_copy_only=False).astype(np.int64)
-            jac = np.empty(len(lo))
-            for i, (a, b) in enumerate(zip(lo, hi)):
-                sa, sb = self.sets[int(a)], self.sets[int(b)]
-                inter = len(sa & sb)
-                jac[i] = inter / (len(sa) + len(sb) - inter) if inter else 0.0
-            keep = jac >= JACCARD_T
-            return pa.table({
-                "doc_lo": _i64(lo[keep]), "doc_hi": _i64(hi[keep]),
-                "jaccard": pa.array(jac[keep]),
-            })
-
-    return cand.map_batches(Verify, concurrency=(1, 4), batch_format="pyarrow")
+    # verify candidates with true Jaccard WITHOUT broadcasting documents:
+    # candidates joined to shingle rows on each side; grams present on both
+    # sides counted per pair (the co-partitioned-join scale path).
+    sh = _shingle_rows(sf_dir)
+    lo_side = cand.join(
+        sh.map_batches(lambda b: b.rename_columns(["doc_lo", "gram", "n_lo"]),
+                       batch_format="pyarrow", zero_copy_batch=True),
+        "inner", 8, on=("doc_lo",))
+    both = lo_side.join(
+        sh.map_batches(lambda b: b.rename_columns(["doc_hi", "gram", "n_hi"]),
+                       batch_format="pyarrow", zero_copy_batch=True),
+        "inner", 8, on=("doc_hi", "gram"))
+    return _pair_jaccard(_combine_pair_counts(both))
 
 
 # ---------------------------------------------------------------------------
@@ -263,44 +308,56 @@ def simhash_pairs_documents(sf_dir: str):
     differing bits avoid one block — guaranteed when ham < 4; heuristic
     above).  Verification is an exact popcount on candidate pairs.
     """
-    import ray
+    def sig_rows(batch: pa.Table) -> pa.Table:
+        doc = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = batch["text"].to_pylist()
+        sigs = np.array([simhash64(t) for t in texts], dtype=np.uint64)
+        return pa.table({"doc_id": _i64(doc),
+                         "sig": pa.array(sigs.view(np.int64), type=pa.int64())})
 
-    docs = _read_docs(sf_dir, ["doc_id", "text"]).take_all()
-    sigs = {int(r["doc_id"]): simhash64(r["text"]) for r in docs}
-    sig_ref = ray.put(sigs)
+    sig_ds = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        sig_rows, batch_format="pyarrow", zero_copy_batch=True)
 
     def bands(batch: pa.Table) -> pa.Table:
         doc = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        texts = batch["text"].to_pylist()
-        out_doc, out_band, out_key = [], [], []
-        for d, t in zip(doc, texts):
-            s = simhash64(t)
-            for b in range(4):
-                out_doc.append(d)
-                out_band.append(b)
-                out_key.append((s >> (16 * b)) & 0xFFFF)
-        return pa.table({"doc_id": _i64(out_doc), "band": _i64(out_band),
-                         "key": _i64(out_key)})
+        sig = batch["sig"].to_numpy(zero_copy_only=False).view(np.uint64)
+        n = len(doc)
+        return pa.table({
+            "doc_id": _i64(np.repeat(doc, 4)),
+            "band": _i64(np.tile(np.arange(4, dtype=np.int64), n)),
+            "key": _i64(((sig[:, None] >> (np.arange(4, dtype=np.uint64) * np.uint64(16)))
+                         & np.uint64(0xFFFF)).astype(np.int64).reshape(-1)),
+        })
 
-    band_rows = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
-        bands, batch_format="pyarrow", zero_copy_batch=True)
-
+    band_rows = sig_ds.map_batches(bands, batch_format="pyarrow", zero_copy_batch=True)
     cand = _pairs_via_self_join(band_rows, ("band", "key"))
 
-    class Verify:
-        def __init__(self):
-            self.sigs = ray.get(sig_ref)
+    # hamming verify via two signature joins (no driver-side state)
+    lo_side = cand.join(
+        sig_ds.map_batches(lambda b: b.rename_columns(["doc_lo", "sig_lo"]),
+                           batch_format="pyarrow", zero_copy_batch=True),
+        "inner", 8, on=("doc_lo",))
+    both = lo_side.join(
+        sig_ds.map_batches(lambda b: b.rename_columns(["doc_hi", "sig_hi"]),
+                           batch_format="pyarrow", zero_copy_batch=True),
+        "inner", 8, on=("doc_hi",))
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            lo = batch["doc_lo"].to_numpy(zero_copy_only=False).astype(np.int64)
-            hi = batch["doc_hi"].to_numpy(zero_copy_only=False).astype(np.int64)
-            ham = np.array([bin(self.sigs[int(a)] ^ self.sigs[int(b)]).count("1")
-                            for a, b in zip(lo, hi)], dtype=np.int64)
-            keep = ham <= SIMHASH_HAM_T
-            return pa.table({"doc_lo": _i64(lo[keep]), "doc_hi": _i64(hi[keep]),
-                             "hamming": _i64(ham[keep])})
+    def verify(batch: pa.Table) -> pa.Table:
+        a = batch["sig_lo"].to_numpy(zero_copy_only=False).view(np.uint64)
+        b = batch["sig_hi"].to_numpy(zero_copy_only=False).view(np.uint64)
+        x = a ^ b
+        ham = np.zeros(len(x), dtype=np.int64)
+        for _ in range(64):
+            ham += (x & np.uint64(1)).astype(np.int64)
+            x = x >> np.uint64(1)
+        keep = ham <= SIMHASH_HAM_T
+        return pa.table({
+            "doc_lo": _i64(batch["doc_lo"].to_numpy(zero_copy_only=False)[keep]),
+            "doc_hi": _i64(batch["doc_hi"].to_numpy(zero_copy_only=False)[keep]),
+            "hamming": _i64(ham[keep]),
+        })
 
-    return cand.map_batches(Verify, concurrency=(1, 4), batch_format="pyarrow")
+    return both.map_batches(verify, batch_format="pyarrow", zero_copy_batch=True)
 
 
 # ---------------------------------------------------------------------------
