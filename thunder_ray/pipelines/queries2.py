@@ -240,9 +240,7 @@ GROUP BY f.doc_id, g.woff
 # Gap-fill (north rule): explicit linear interpolation of empty 1m buckets
 
 def _events_rollup(sf_dir: str, tier_seconds: int):
-    """events -> per (event_type, bucket) exact-int moments at ``tier_seconds``."""
-    from .queries import rollup_events_1h  # noqa: F401  (same pattern, param tier)
-    import ray.data as rd
+    """events -> per (event_type, bucket) exact-int count/sum at ``tier_seconds``."""
     from ray.data.aggregate import Sum
 
     ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])

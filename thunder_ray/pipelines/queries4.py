@@ -104,22 +104,6 @@ def retention_1m(sf_dir: str):
                             zero_copy_batch=True)
 
 
-def _retention_sql() -> str:
-    from .queries import _rollup_sql
-
-    return f"""
-WITH t AS ({_rollup_sql(60)})
-SELECT * FROM (
-  SELECT *, MAX(bucket) OVER (PARTITION BY source) AS mx FROM t
-) WHERE bucket > mx - {RETENTION_BUCKETS}
-"""
-
-
-# Column sets must match: strip the helper column on the SQL side via
-# explicit projection (same columns as rollup_1m).
-RETENTION_SQL = None  # built in build_oracle_sql4 (needs _rollup_sql)
-
-
 # ---------------------------------------------------------------------------
 # As-of join: each event joined to the latest 1m rolled point of its
 # event_type at-or-before the event's bucket (sort + merge per key group —
