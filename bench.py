@@ -10,16 +10,21 @@ Default mode: one fresh Ray session (``address="local"``,
   2. every ``queries()`` entry over ``$GRAFT_SF_DIR`` (default
      /root/testdata/sf0.1), each timed to full materialization.
 
-Prints ONE JSON line:
+Prints ONE COMPACT JSON line (kept well under the driver's ~2000-char tail
+capture; ADVICE r1):
   {"metric": ..., "value": <total sec>, "unit": "sec",
-   "queries": {name: sec}, "sf": ..., "num_cpus": N,
-   "headline": {...points/sec detail...}}
+   "queries": {name: sec}, "sf": ..., "num_cpus": N, "headline_pps": P}
+Full detail (per-query row counts, headline tier breakdown) goes to the
+sidecar ``bench_detail.json`` next to this script.
 
-``--scaling``: runs the headline pipeline in TWO FRESH PROCESSES at
-num_cpus=N and 4N (default 8 and 32) on the SAME input and reports both
-throughputs + scaling efficiency ``eff = (thr_4N / thr_N) / 4`` (the
-sandbox substitute for the north rule's N vs 4N-node criterion,
-SURVEY.md §4.3); also refreshes the scaling table in BASELINE.md.
+``--scaling``: the sandbox substitute for the north rule's N vs 4N-node
+criterion (SURVEY.md §4.3). Protocol (VERDICT r1 #1): PAIRWISE-INTERLEAVED
+fresh-process runs of the identical headline job at num_cpus=N and 4N
+(default 8 and 32), alternating arm order each pair to cancel drift on this
+noisy shared VM; reports the per-pair efficiencies
+``eff_i = (thr_4N_i / thr_N_i) / 4``, their MEDIAN, and EVERY individual
+run. BASELINE.md gets the new window APPENDED to a measurement log — prior
+windows are never overwritten.
 """
 
 from __future__ import annotations
@@ -114,20 +119,28 @@ def run_queries(sf_dir: str) -> tuple[dict, dict]:
     return times, rows
 
 
+DETAIL_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "bench_detail.json")
+
+
 def main_default(num_cpus: int, sf_dir: str, sf_label) -> dict:
     _init_ray(num_cpus)
     headline = run_headline(HEADLINE_ROWS, num_cpus)
     qtimes, qrows = run_queries(sf_dir)
-    total = round(headline["wall_sec"] + sum(qtimes.values()), 3)
+    total = round(headline["wall_sec"] + sum(qtimes.values()), 2)
+    # Full detail to the sidecar; the printed line stays compact (ADVICE r1).
+    with open(DETAIL_PATH, "w") as f:
+        json.dump({"headline": headline, "queries": qtimes,
+                   "query_rows": qrows, "sf": sf_label,
+                   "num_cpus": num_cpus}, f, indent=1)
     return {
-        "metric": "rolled-up points/sec across raw->1m->1h->1d tiers + query suite wall time",
+        "metric": "rollup points/sec raw->1m->1h->1d + query suite",
         "value": total,
         "unit": "sec",
-        "queries": qtimes,
+        "queries": {k: round(v, 2) for k, v in qtimes.items()},
         "sf": sf_label,
         "num_cpus": num_cpus,
-        "headline": headline,
-        "query_rows": qrows,
+        "headline_pps": headline["points_per_sec"],
     }
 
 
@@ -203,30 +216,42 @@ def _dram_bandwidth() -> dict:
     return res
 
 
-def _best_of(k: int, num_cpus: int, rows: int) -> dict:
-    """Max throughput of k fresh runs — the minimum-interference estimate on
-    this noisy-neighbour VM (run-to-run wall varies ~2x; see BASELINE.md)."""
-    runs = [_spawn_headline(num_cpus, rows) for _ in range(k)]
-    return max(runs, key=lambda r: r["points_per_sec"])
+def _median(xs):
+    s = sorted(xs)
+    m = len(s) // 2
+    return s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2
 
 
-def main_scaling(n: int) -> dict:
+def main_scaling(n: int, pairs: int = 5) -> dict:
+    """Pairwise-interleaved N vs 4N runs; median pair efficiency; every run
+    reported and APPENDED (never overwritten) to BASELINE.md (VERDICT r1 #1)."""
     # Generate the shared input once (driver-side, no Ray needed).
     _headline_input(SCALING_ROWS)
-    lo = _best_of(3, n, SCALING_ROWS)
-    hi = _best_of(3, 4 * n, SCALING_ROWS)
-    eff = (hi["points_per_sec"] / lo["points_per_sec"]) / 4.0
+    runs_lo, runs_hi, pair_effs = [], [], []
+    for i in range(pairs):
+        # Alternate arm order each pair so slow-window drift hits both arms
+        # symmetrically instead of biasing one.
+        order = [n, 4 * n] if i % 2 == 0 else [4 * n, n]
+        pair = {c: _spawn_headline(c, SCALING_ROWS) for c in order}
+        runs_lo.append(pair[n])
+        runs_hi.append(pair[4 * n])
+        pair_effs.append(round(
+            (pair[4 * n]["points_per_sec"] / pair[n]["points_per_sec"]) / 4.0, 3))
+    med_eff = round(_median(pair_effs), 3)
     cal_lo = _spawn_calibration(n)
     cal_hi = _spawn_calibration(4 * n)
     cal_eff = (cal_hi["tasks_per_sec"] / cal_lo["tasks_per_sec"]) / 4.0
     result = {
-        "metric": "scaling efficiency (points/sec at 4N cpus vs N cpus) / 4",
-        "value": round(eff, 3),
+        "metric": "median pairwise scaling efficiency (points/sec at 4N cpus vs N cpus) / 4",
+        "value": med_eff,
         "unit": "efficiency",
         "sf": f"synthetic rows={SCALING_ROWS}",
         "num_cpus": [n, 4 * n],
-        "low": lo,
-        "high": hi,
+        "pair_efficiencies": pair_effs,
+        "runs_low": runs_lo,
+        "runs_high": runs_hi,
+        "median_low_pps": round(_median([r["points_per_sec"] for r in runs_lo]), 1),
+        "median_high_pps": round(_median([r["points_per_sec"] for r in runs_hi]), 1),
         "calibration": {"low": cal_lo, "high": cal_hi, "efficiency": round(cal_eff, 3)},
         "dram": _dram_bandwidth(),
     }
@@ -234,48 +259,67 @@ def main_scaling(n: int) -> dict:
     return result
 
 
+_SUMMARY_MARK = "## Scaling evidence (bench.py --scaling)"
+_LOG_MARK = "## Scaling measurement log (append-only, every window kept)"
+
+
 def _update_baseline_md(result: dict):
-    """Refresh the scaling-evidence section in BASELINE.md (idempotent)."""
+    """Replace the SUMMARY section with the latest window; APPEND the window
+    to the measurement log. Prior windows are never deleted (VERDICT r1 #1:
+    no more curated narratives)."""
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE.md")
-    marker = "## Scaling evidence (bench.py --scaling)"
-    lo, hi = result["low"], result["high"]
-    section = (
-        f"{marker}\n\n"
-        f"Same synthetic input ({lo['rows']} docs, ~{lo['rolled_points']} rolled points across "
-        f"1m/1h/1d tiers), two fresh `ray.init(address=\"local\")` processes:\n\n"
-        f"| num_cpus | wall (s) | rolled points/sec |\n|---|---|---|\n"
-        f"| {lo['num_cpus']} | {lo['wall_sec']} | {lo['points_per_sec']} |\n"
-        f"| {hi['num_cpus']} | {hi['wall_sec']} | {hi['points_per_sec']} |\n\n"
-        f"**Scaling efficiency (thr_4N / thr_N) / 4 = {result['value']}** "
-        f"(north-rule target >= 0.8).\n\n"
-        f"### Hardware context (measured, this sandbox VM)\n\n"
-        f"DRAM bandwidth at run time: {result['dram']['1way_gbps']} GB/s single-stream, "
+    n, n4 = result["num_cpus"]
+    lo0 = result["runs_low"][0]
+    summary = (
+        f"{_SUMMARY_MARK}\n\n"
+        f"Protocol: pairwise-INTERLEAVED fresh-process runs (arm order alternated "
+        f"each pair) of the identical headline job ({lo0['rows']} docs, "
+        f"~{lo0['rolled_points']} rolled points across 1m/1h/1d tiers) at "
+        f"num_cpus={n} and {n4}; efficiency per pair = (thr_{n4}/thr_{n})/4; "
+        f"headline number = MEDIAN of pairs. All runs of all windows are in the "
+        f"measurement log below.\n\n"
+        f"Latest window: pair efficiencies {result['pair_efficiencies']}, "
+        f"**median = {result['value']}** (north-rule target >= 0.8); median "
+        f"throughput {result['median_low_pps']} pts/s at {n} cpus, "
+        f"{result['median_high_pps']} pts/s at {n4} cpus.\n\n"
+        f"Hardware context for this window: DRAM bandwidth "
+        f"{result['dram']['1way_gbps']} GB/s single-stream, "
         f"{result['dram']['4way_total_gbps']} GB/s total at 4 streams, "
-        f"{result['dram']['8way_total_gbps']} GB/s at 8. These figures (and wall times "
-        f"generally) swing more than 2x between measurement windows on this shared VM "
-        f"(observed 5-67 GB/s on identical probes), which is why each throughput above "
-        f"is the best of 3 fresh runs.\n\n"
-        f"Engine scheduling calibration (compute-bound L2-resident map_batches, "
-        f"same Ray Data path, measured in the same window): "
-        f"{result['calibration']['low']['tasks_per_sec']} tasks/s at "
-        f"{result['calibration']['low']['num_cpus']} cpus -> "
-        f"{result['calibration']['high']['tasks_per_sec']} tasks/s at "
-        f"{result['calibration']['high']['num_cpus']} cpus = "
-        f"**{result['calibration']['efficiency']} efficiency** — the engine's "
-        f"scheduling/shuffle path meets the >=0.8 criterion whenever per-task work is "
-        f"CPU-bound; the headline pipeline streams ~6 B/token (decode) + ~25 B/token "
-        f"(kernel) at 88 M tokens/s/core, so on this VM it saturates shared DRAM before "
-        f"it saturates 4 cores. On a real multi-node cluster each node brings its own "
-        f"memory bus, so this contention does not compound across nodes.\n"
+        f"{result['dram']['8way_total_gbps']} GB/s at 8 (these swing >2x "
+        f"between windows on this shared VM). Compute-bound L2-resident "
+        f"calibration on the same Ray Data map_batches path: "
+        f"{result['calibration']['low']['tasks_per_sec']} tasks/s at {n} cpus -> "
+        f"{result['calibration']['high']['tasks_per_sec']} tasks/s at {n4} cpus "
+        f"= {result['calibration']['efficiency']} efficiency. The headline "
+        f"pipeline streams tens of bytes/token from DRAM, so when the shared "
+        f"bus is contended it flattens before {n4} local workers; a real "
+        f"multi-node cluster adds a memory bus per node. The honest report is "
+        f"the whole distribution below, not any single window.\n"
+    )
+    run_rows = "".join(
+        f"| {r['num_cpus']} | {r['wall_sec']} | {r['points_per_sec']} |\n"
+        for pair in zip(result["runs_low"], result["runs_high"]) for r in pair
+    )
+    log_entry = (
+        f"### Window {time.strftime('%Y-%m-%d %H:%M:%S UTC', time.gmtime())} "
+        f"({lo0['rows']} docs, cpus {n} vs {n4})\n\n"
+        f"Pair efficiencies: {result['pair_efficiencies']} -> median "
+        f"**{result['value']}**; calibration efficiency "
+        f"{result['calibration']['efficiency']}; DRAM {result['dram']}.\n\n"
+        f"| num_cpus | wall (s) | points/sec |\n|---|---|---|\n{run_rows}\n"
     )
     try:
         text = open(path).read()
     except FileNotFoundError:
         text = ""
-    if marker in text:
-        text = text[: text.index(marker)] + section
+    # Replace summary (everything from SUMMARY_MARK up to LOG_MARK or EOF).
+    if _SUMMARY_MARK in text:
+        head = text[: text.index(_SUMMARY_MARK)]
+        tail = text[text.index(_LOG_MARK):] if _LOG_MARK in text else f"{_LOG_MARK}\n\n"
     else:
-        text = text.rstrip() + "\n\n" + section
+        head = text.rstrip() + "\n\n"
+        tail = f"{_LOG_MARK}\n\n"
+    text = head + summary + "\n" + tail.rstrip() + "\n\n" + log_entry
     with open(path, "w") as f:
         f.write(text)
 
@@ -287,6 +331,8 @@ if __name__ == "__main__":
     ap.add_argument("--num-cpus", type=int, default=DEFAULT_CPUS)
     ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
     ap.add_argument("--rows", type=int, default=HEADLINE_ROWS)
+    ap.add_argument("--pairs", type=int, default=5,
+                    help="interleaved N/4N pairs for --scaling")
     args = ap.parse_args()
 
     sf_label = os.path.basename(args.sf_dir.rstrip("/")).replace("sf", "") or args.sf_dir
@@ -294,11 +340,14 @@ if __name__ == "__main__":
     if args.child_headline:
         payload = main_child(args.num_cpus, args.rows)
     elif args.scaling:
-        payload = main_scaling(max(1, min(2, args.num_cpus // 4)))
+        # N = num_cpus/4 so the arms are N and 4N=num_cpus — with the default
+        # 32 this restores the 8-vs-32 configuration BASELINE.json implies
+        # (round 1 silently swapped in 2-vs-8; ADVICE r1).
+        payload = main_scaling(max(1, args.num_cpus // 4), pairs=args.pairs)
     else:
         payload = main_default(args.num_cpus, args.sf_dir, sf_label)
 
-    print(json.dumps(payload))
+    print(json.dumps(payload, separators=(",", ":")))
 
     import ray
 

@@ -262,10 +262,19 @@ def merge_partials(ds, salted: bool = False, strategy: str = "tree",
 
 def finalize_tier(batch: pa.Table) -> pa.Table:
     """Attach the fixed-expression derived columns mean/m2 (schema.derive_mean_m2)
-    and normalize physical types to TIER_SCHEMA."""
+    and normalize physical types to TIER_SCHEMA.
+
+    Guards the exact int64-sumsq path: terms are non-negative, so the final
+    (count, max) of a group bounds its sumsq AND every intermediate partial;
+    a group past the bound raises MomentsOverflowError instead of silently
+    emitting wrapped moments (functions/moments.py — rerun with the float
+    Chan-merge path there)."""
+    from ..functions.moments import assert_exact_moments_safe
+
     cnt = batch["count"].to_numpy(zero_copy_only=False).astype(np.int64)
     s = batch["sum"].to_numpy(zero_copy_only=False).astype(np.int64)
     q = batch["sumsq"].to_numpy(zero_copy_only=False).astype(np.int64)
+    assert_exact_moments_safe(cnt, batch["max"].to_numpy(zero_copy_only=False))
     mean, m2 = derive_mean_m2(cnt, s, q)
     src = batch["source"]
     if isinstance(src, pa.ChunkedArray):
