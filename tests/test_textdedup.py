@@ -114,6 +114,88 @@ def test_ann_lsh_recall(ray_session):
 
 
 # ---------------------------------------------------------------------------
+# Vectorized batch kernels == scalar references (round-2 rewrite)
+
+_PARITY_TEXTS = ["a b c d e f", "a b c d e g", "x", "x y", "", "q w e r t y u i",
+                 "a  b", "one two three one two three"]
+
+
+def _parity_table():
+    return pa.table({
+        "doc_id": pa.array(range(len(_PARITY_TEXTS)), type=pa.int64()),
+        "text": pa.array(_PARITY_TEXTS),
+    })
+
+
+def test_minhash_batch_equals_scalar():
+    sigs = dd.minhash_signatures_batch(_parity_table())
+    for i, t in enumerate(_PARITY_TEXTS):
+        ref = dd.minhash_signature(dd._shingle_set(t))
+        assert np.array_equal(sigs[i], ref), (i, t)
+
+
+def test_simhash_batch_equals_scalar():
+    sigs = dd.simhash_batch(_parity_table())
+    for i, t in enumerate(_PARITY_TEXTS):
+        assert int(sigs[i]) == dd.simhash64(t), (i, t)
+
+
+def test_pair_key_packing_guard():
+    with pytest.raises(ValueError):
+        dd._pack_pair_key(np.array([2**31], dtype=np.int64),
+                          np.array([1], dtype=np.int64))
+    k = dd._pack_pair_key(np.array([3], dtype=np.int64),
+                          np.array([2**31 - 1], dtype=np.int64))
+    assert int(k[0] >> 31) == 3 and int(k[0] & (2**31 - 1)) == 2**31 - 1
+
+
+def test_pair_combine_strategies_agree(ray_session):
+    """tree fan-in and keyed groupby must produce identical jaccard rows."""
+    sf = "/root/testdata/sf0.001"
+    sh = dd._shingle_rows(sf)
+    right = sh.map_batches(
+        lambda b: b.rename_columns(["doc_hi", "gram", "n_hi"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    joined = sh.join(right, "inner", 8, on=("gram",))
+
+    def keep_lo_hi(batch: pa.Table) -> pa.Table:
+        a = batch["doc_id"].to_numpy(zero_copy_only=False)
+        b = batch["doc_hi"].to_numpy(zero_copy_only=False)
+        m = a < b
+        return pa.table({
+            "doc_lo": pa.array(a[m]), "doc_hi": pa.array(b[m]),
+            "n_lo": pa.array(batch["n_doc"].to_numpy(zero_copy_only=False)[m]),
+            "n_hi": pa.array(batch["n_hi"].to_numpy(zero_copy_only=False)[m]),
+        })
+
+    matches = joined.map_batches(keep_lo_hi, batch_format="pyarrow",
+                                 zero_copy_batch=True).materialize()
+
+    def norm(ds):
+        df = ds.to_pandas()[["doc_lo", "doc_hi", "i", "n_lo", "n_hi"]]
+        return df.sort_values(["doc_lo", "doc_hi"]).reset_index(drop=True)
+
+    import pandas as pd
+    a = norm(dd._combine_pair_counts(matches, strategy="tree"))
+    b = norm(dd._combine_pair_counts(matches, strategy="groupby"))
+    assert len(a) > 0
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_embedding_lsh_recall_and_precision(ray_session):
+    """The LSH scale path must (a) emit only pairs the exact operator emits
+    (verification is exact) and (b) recall a reasonable fraction."""
+    sf = "/root/testdata/sf0.001"
+    exact = {(int(r["vec_lo"]), int(r["vec_hi"]))
+             for r in dd.embedding_neardup_pairs(sf).take_all()}
+    lsh = {(int(r["vec_lo"]), int(r["vec_hi"]))
+           for r in dd.embedding_neardup_lsh_pairs(sf).take_all()}
+    assert lsh <= exact, "LSH emitted a pair the exact operator rejects"
+    if exact:
+        assert len(lsh) / len(exact) >= 0.2, f"recall {len(lsh)/len(exact)}"
+
+
+# ---------------------------------------------------------------------------
 # Multimodal decode plumbing
 
 def test_fake_decoder_histogram_exact():
