@@ -42,6 +42,33 @@ def test_tree_equals_plain_groupby(tokens_ds):
     pd.testing.assert_frame_equal(a, b)
 
 
+def test_auto_strategy_selects_by_cardinality(tokens_ds):
+    """auto == tree below TREE_MAX_GROUPS, == groupby above; results
+    bit-identical either way (integer-moment order independence)."""
+    def roll(expected_groups):
+        p = tokens_ds.map_batches(ru.BucketizePartials(3600),
+                                  batch_format="pyarrow", zero_copy_batch=True)
+        return _sorted_df(ru.merge_partials(
+            p, strategy="auto", expected_groups=expected_groups).map_batches(
+            ru.finalize_tier, batch_format="pyarrow"))
+
+    small = roll(expected_groups=10)                      # tree path
+    big = roll(expected_groups=ru.TREE_MAX_GROUPS + 1)    # groupby path
+    pd.testing.assert_frame_equal(small, big)
+
+
+def test_tree_guard_refuses_runaway_cardinality(tokens_ds, monkeypatch):
+    """An under-estimated group count must raise, not silently bottleneck."""
+    monkeypatch.setattr(ru, "TREE_MAX_GROUPS", 3)
+    p = tokens_ds.map_batches(ru.BucketizePartials(60),
+                              batch_format="pyarrow", zero_copy_batch=True)
+    merged = ru.merge_partials(p, strategy="tree")
+    with pytest.raises(Exception) as ei:
+        merged.materialize()
+    assert "TreeMergeOverflowError" in str(ei.value) or isinstance(
+        ei.value, ru.TreeMergeOverflowError)
+
+
 def test_streaming_equals_checkpointed(ray_session, tmp_path):
     import ray.data as rd
 

@@ -58,6 +58,16 @@ def rollup_documents(sf_dir: str, tier_seconds: int):
     return out.drop_columns(["sumsq"])
 
 
+def rollup_documents_salted(sf_dir: str, tier_seconds: int, salt: int = 8):
+    """Same rolled points as rollup_documents but THROUGH the salted
+    two-phase groupby path (skew machinery exercised end-to-end on the
+    Zipf-skewed `source`; VERDICT r1 missing #7) — integer moments are
+    merge-order independent so the SQL twin is identical."""
+    ds = tokens_from_documents(sf_dir)
+    out = ru.rollup_tokens(ds, tier_seconds, t0_column="doc_id_int", salt=salt)
+    return out.drop_columns(["sumsq"])
+
+
 def _rollup_sql(tier_seconds: int) -> str:
     return f"""
 WITH tok AS (
@@ -583,6 +593,7 @@ def build_queries() -> dict:
         "rollup_1m": lambda sf: rollup_documents(sf, 60),
         "rollup_1h": lambda sf: rollup_documents(sf, 3600),
         "rollup_1d": lambda sf: rollup_documents(sf, 86400),
+        "rollup_1m_salted": lambda sf: rollup_documents_salted(sf, 60),
         "series_stats_tokens": series_stats_tokens,
         "downsample_tokens": downsample_tokens,
         "subsample_tokens": subsample_tokens,
@@ -618,6 +629,7 @@ def build_oracle_sql() -> dict:
         "rollup_1m": _rollup_sql(60),
         "rollup_1h": _rollup_sql(3600),
         "rollup_1d": _rollup_sql(86400),
+        "rollup_1m_salted": _rollup_sql(60),
         "series_stats_tokens": SERIES_STATS_TOKENS_SQL,
         "downsample_tokens": DOWNSAMPLE_TOKENS_SQL,
         "subsample_tokens": SUBSAMPLE_TOKENS_SQL,

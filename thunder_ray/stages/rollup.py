@@ -190,12 +190,48 @@ class RerollupPartials:
         )
 
 
-def merge_partials(ds, salted: bool = False, strategy: str = "tree",
-                   combine_batch: int | None = None):
+# A combiner-tree final task must hold every finalized group; beyond this
+# row count the tree is the wrong topology (VERDICT r1 #9: pick by estimated
+# group count instead of silently bottlenecking).  Patchable for tests.
+TREE_MAX_GROUPS = 50_000_000
+
+
+class TreeMergeOverflowError(RuntimeError):
+    """Raised when a combiner-tree fan-in stage exceeds TREE_MAX_GROUPS
+    output rows — rerun with merge strategy='groupby' (keyed shuffle)."""
+
+
+class _GuardedRerollup(RerollupPartials):
+    """Fan-in combine with a cardinality guard: a level-2 shard bounding
+    ~1/fanin of the groups refuses before the single final task can OOM."""
+
+    def __init__(self, factor: int, max_rows: int):
+        super().__init__(factor)
+        self.max_rows = int(max_rows)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = super().__call__(batch)
+        if len(out) > self.max_rows:
+            raise TreeMergeOverflowError(
+                f"combiner-tree shard holds {len(out)} groups "
+                f"(> {self.max_rows}); rerun merge_partials with "
+                f"strategy='groupby'")
+        return out
+
+
+def merge_partials(ds, salted: bool = False, strategy: str = "auto",
+                   combine_batch: int | None = None,
+                   expected_groups: int | None = None):
     """Merge per-batch partial moments into one row per (source, bucket).
 
     Integer moments are merge-order independent, so ANY merge topology gives
     bit-identical results — we pick by output cardinality, not semantics:
+
+    - ``strategy="auto"`` (default): ``tree`` when ``expected_groups`` is
+      unknown or <= TREE_MAX_GROUPS, else ``groupby``.  The tree's fan-in
+      stages carry a runtime cardinality guard (TreeMergeOverflowError)
+      so an under-estimate refuses loudly instead of silently becoming the
+      single-task bottleneck.
 
     - ``strategy="tree"`` (default): vectorized combiner tree — block-local
       combine (``RerollupPartials`` per block: combine_batch=None is
@@ -215,15 +251,19 @@ def merge_partials(ds, salted: bool = False, strategy: str = "tree",
       cardinality path; with ``salted=True`` hot groups are first merged per
       salt then unsalted in a second tiny groupby (SURVEY.md §4.1 skew row).
     """
+    if strategy == "auto":
+        strategy = ("groupby" if (expected_groups is not None
+                                  and expected_groups > TREE_MAX_GROUPS)
+                    else "tree")
     if strategy == "tree":
         combined = ds.map_batches(
             RerollupPartials(1), batch_format="pyarrow",
             zero_copy_batch=True, batch_size=combine_batch,
         )
         # level 2: fan-in to `fanin` parallel combines (each bounded by the
-        # group cardinality), then one tiny final combine
+        # group cardinality, guarded), then one tiny final combine
         level2 = combined.repartition(8).map_batches(
-            RerollupPartials(1), batch_format="pyarrow",
+            _GuardedRerollup(1, TREE_MAX_GROUPS), batch_format="pyarrow",
             zero_copy_batch=True, batch_size=None,
         )
         return level2.repartition(1).map_batches(
@@ -297,8 +337,12 @@ def finalize_tier(batch: pa.Table) -> pa.Table:
 
 
 def rollup_tokens(ds, tier_seconds: int, t0_column: str | None = None,
-                  salt: int | None = None, batch_size: int | None = None):
-    """tokens Dataset -> rolled tier Dataset (with sumsq; FIXTURES schema + sumsq)."""
+                  salt: int | None = None, batch_size: int | None = None,
+                  expected_groups: int | None = None):
+    """tokens Dataset -> rolled tier Dataset (with sumsq; FIXTURES schema + sumsq).
+
+    ``expected_groups`` (~ #sources x #buckets) steers the merge topology:
+    tree below TREE_MAX_GROUPS, keyed groupby above (merge_partials auto)."""
     partials = ds.map_batches(
         BucketizePartials(tier_seconds, t0_column=t0_column, salt=salt),
         batch_format="pyarrow",
@@ -306,7 +350,8 @@ def rollup_tokens(ds, tier_seconds: int, t0_column: str | None = None,
         batch_size=batch_size,
     )
     merged = merge_partials(partials, salted=bool(salt),
-                            strategy="groupby" if salt else "tree")
+                            strategy="groupby" if salt else "auto",
+                            expected_groups=expected_groups)
     return merged.map_batches(finalize_tier, batch_format="pyarrow", zero_copy_batch=True)
 
 
