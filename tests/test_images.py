@@ -118,3 +118,59 @@ def test_toseries_is_exact_transpose(frames):
     flat = CUBE.reshape(CUBE.shape[0], -1)    # (t, pixels)
     for r in rows:
         assert np.array_equal(np.asarray(r["series"]), flat[:, r["pixel_id"]])
+
+
+def test_toimages_roundtrip(frames):
+    """toseries -> toimages reproduces every frame exactly (frame ids are
+    frame ranks; CUBE's ids are already 0..t-1)."""
+    series = im.toseries(frames, chunks=5)
+    rows = im.toimages(series, height=8, width=10, time_chunks=3).take_all()
+    assert len(rows) == CUBE.shape[0]
+    for r in rows:
+        got = np.asarray(r["image"]).reshape(8, 10)
+        assert np.array_equal(got, CUBE[int(r["frame_id"])])
+
+
+def test_toblocks_halo_slices(frames):
+    rows = im.toblocks(frames, grid=(2, 2), padding=1).take_all()
+    # 4 blocks x 6 frames
+    assert len(rows) == 4 * CUBE.shape[0]
+    for r in rows:
+        sub = np.asarray(r["vals"]).reshape(int(r["sh"]), int(r["sw"]))
+        yy0, xx0 = int(r["yy0"]), int(r["xx0"])
+        want = CUBE[int(r["frame_id"]),
+                    yy0: yy0 + int(r["sh"]), xx0: xx0 + int(r["sw"])]
+        assert np.array_equal(sub, want)
+        # halo: core extended by <=1, clipped at image bounds
+        assert yy0 == max(int(r["y0"]) - 1, 0)
+        assert xx0 == max(int(r["x0"]) - 1, 0)
+
+
+def _naive_localcorr(cube, size=3):
+    t, h, w = cube.shape
+    r = size // 2
+    out = np.empty((h, w))
+    x64 = cube.astype(np.int64)
+    for i in range(h):
+        for j in range(w):
+            y0, y1 = max(i - r, 0), min(i + r + 1, h)
+            x0, x1 = max(j - r, 0), min(j + r + 1, w)
+            ysum = x64[:, y0:y1, x0:x1].sum(axis=(1, 2))
+            x = x64[:, i, j]
+            tf = np.float64(t)
+            sx, sy = x.sum(), ysum.sum()
+            sxx, syy, sxy = (x * x).sum(), (ysum * ysum).sum(), (x * ysum).sum()
+            num = tf * np.float64(sxy) - np.float64(sx) * np.float64(sy)
+            den = (np.sqrt(tf * np.float64(sxx) - np.float64(sx) * np.float64(sx))
+                   * np.sqrt(tf * np.float64(syy) - np.float64(sy) * np.float64(sy)))
+            out[i, j] = num / den
+    return out
+
+
+def test_localcorr_matches_naive(frames):
+    rows = im.localcorr(frames, size=3, grid=(2, 2)).take_all()
+    assert len(rows) == 8 * 10
+    want = _naive_localcorr(CUBE)
+    for r in rows:
+        assert np.isclose(r["corr"], want[int(r["y"]), int(r["x"])],
+                          rtol=1e-12), (r["y"], r["x"])

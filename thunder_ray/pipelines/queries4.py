@@ -278,6 +278,85 @@ FROM flat GROUP BY pos
 """
 
 
+def images_roundtrip_embeddings(sf_dir: str):
+    """toseries -> toimages round trip (thunder Images.toseries +
+    Series.toimages, series.py:~1080): frames through BOTH transpose
+    shuffles must reproduce every pixel exactly.  Output is the flattened
+    (frame_id, pos, value) table; frame_id is the frame RANK (toseries
+    orders by frame_id and the inverse keys frames 0..t-1)."""
+    from ..stages import images as im
+
+    series = im.toseries(_frames_from_embeddings(sf_dir), chunks=8)
+    frames = im.toimages(series, height=8, width=8, time_chunks=8)
+
+    def flat(df: pd.DataFrame) -> pa.Table:
+        # pandas format: the reassembled image column is Ray's tensor
+        # extension, which round-trips to ndarray rows here
+        fid = df["frame_id"].to_numpy().astype(np.int64)
+        mat = np.stack([np.asarray(v) for v in df["image"]])
+        npix = mat.shape[1] if len(fid) else 0
+        return pa.table({
+            "frame_id": _i64(np.repeat(fid, npix)),
+            "pos": _i64(np.tile(np.arange(npix, dtype=np.int64), len(fid))),
+            "value": _i64(mat.reshape(-1)),
+        })
+
+    return frames.map_batches(flat, batch_format="pandas")
+
+
+IMAGES_ROUNDTRIP_SQL = """
+WITH ranked AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS fid, embedding
+  FROM embeddings
+)
+SELECT CAST(fid AS BIGINT) AS frame_id, CAST(pos AS BIGINT) AS pos,
+       CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS value
+FROM (SELECT fid, unnest(embedding) AS x,
+             unnest(range(len(embedding))) AS pos FROM ranked)
+"""
+
+
+def images_localcorr_embeddings(sf_dir: str):
+    """thunder Images.localcorr via toblocks + halo (images.py:~130/~430):
+    per-pixel Pearson correlation between the pixel's time series and its
+    3x3 neighbourhood-SUM series (sum == mean under correlation; integer
+    aggregates keep the one float corr expression bit-reproducible)."""
+    from ..stages import images as im
+
+    return im.localcorr(_frames_from_embeddings(sf_dir), size=3, grid=(2, 2))
+
+
+IMAGES_LOCALCORR_SQL = """
+WITH flat AS (
+  SELECT vec_id AS t, CAST(pos // 8 AS BIGINT) AS y, CAST(pos % 8 AS BIGINT) AS x,
+         CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT) AS val
+  FROM (SELECT vec_id, unnest(embedding) AS v,
+               unnest(range(len(embedding))) AS pos FROM embeddings)
+),
+nb AS (
+  SELECT a.t, a.y, a.x, CAST(SUM(b.val) AS BIGINT) AS ysum
+  FROM flat a JOIN flat b ON b.t = a.t
+   AND b.y BETWEEN a.y - 1 AND a.y + 1 AND b.x BETWEEN a.x - 1 AND a.x + 1
+  GROUP BY a.t, a.y, a.x
+),
+m AS (
+  SELECT f.y, f.x, COUNT(*) AS tn,
+         CAST(SUM(f.val) AS BIGINT) AS sx,
+         CAST(SUM(f.val * f.val) AS BIGINT) AS sxx,
+         CAST(SUM(n.ysum) AS BIGINT) AS sy,
+         CAST(SUM(n.ysum * n.ysum) AS BIGINT) AS syy,
+         CAST(SUM(f.val * n.ysum) AS BIGINT) AS sxy
+  FROM flat f JOIN nb n ON n.t = f.t AND n.y = f.y AND n.x = f.x
+  GROUP BY f.y, f.x
+)
+SELECT y, x,
+  (CAST(tn AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+  / (sqrt(CAST(tn AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+     * sqrt(CAST(tn AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr
+FROM m
+"""
+
+
 def build_queries4() -> dict:
     return {
         "rolling_mean_1m": rolling_mean_1m,
@@ -285,6 +364,8 @@ def build_queries4() -> dict:
         "asof_join_events_1m": asof_join_events_1m,
         "images_max_projection_embeddings": images_max_projection_embeddings,
         "images_toseries_stats": images_toseries_stats,
+        "images_roundtrip_embeddings": images_roundtrip_embeddings,
+        "images_localcorr_embeddings": images_localcorr_embeddings,
     }
 
 
@@ -303,4 +384,6 @@ SELECT source, bucket, count, sum, min, max, mean, m2 FROM (
         "asof_join_events_1m": ASOF_JOIN_SQL,
         "images_max_projection_embeddings": IMAGES_MAX_PROJ_SQL,
         "images_toseries_stats": IMAGES_TOSERIES_SQL,
+        "images_roundtrip_embeddings": IMAGES_ROUNDTRIP_SQL,
+        "images_localcorr_embeddings": IMAGES_LOCALCORR_SQL,
     }

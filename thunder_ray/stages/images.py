@@ -239,3 +239,154 @@ def toseries(ds, chunks: int = 16):
         })
 
     return sliced.groupby("chunk").map_groups(reassemble, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# toimages — the inverse transpose (thunder Series.toimages, series.py:~1080)
+
+def toimages(series_ds, height: int, width: int, time_chunks: int = 8):
+    """Per-pixel Series rows (pixel_id, series ordered by frame rank) ->
+    frames table — the inverse of :func:`toseries` (VERDICT r1 missing #3).
+
+    Frame identity is the RANK of the original frame_id (toseries orders
+    each series by frame_id but does not retain the ids); the round-trip
+    therefore reproduces frames keyed 0..t-1 in frame_id order.
+
+    Plan mirrors toseries: map_batches slices each pixel's series into
+    ``time_chunks`` contiguous time ranges -> groupby(chunk) co-locates all
+    pixels for a time range -> map_groups emits that range's frames.
+    Partitioning assumption: one time chunk x all pixels fits a worker
+    (the mirror image of toseries' pixel-chunk assumption)."""
+
+    def slice_time(df: pd.DataFrame) -> pd.DataFrame:
+        # pandas format: toseries emits `series` as Ray's tensor extension,
+        # which round-trips to ndarray rows here but not through list_parts
+        pix = df["pixel_id"].to_numpy().astype(np.int64)
+        mat = np.stack([np.asarray(v) for v in df["series"]])
+        t = mat.shape[1]
+        bounds = np.linspace(0, t, time_chunks + 1).astype(np.int64)
+        out_chunk, out_pix, out_start, out_vals = [], [], [], []
+        for c in range(time_chunks):
+            lo, hi = int(bounds[c]), int(bounds[c + 1])
+            if lo == hi:
+                continue
+            out_chunk.append(np.full(len(pix), c, dtype=np.int64))
+            out_pix.append(pix)
+            out_start.append(np.full(len(pix), lo, dtype=np.int64))
+            out_vals.extend(list(mat[:, lo:hi]))
+        return pd.DataFrame({
+            "chunk": np.concatenate(out_chunk),
+            "pixel_id": np.concatenate(out_pix),
+            "t_start": np.concatenate(out_start),
+            "vals": out_vals,
+        })
+
+    sliced = series_ds.map_batches(slice_time, batch_format="pandas")
+
+    def reassemble(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("pixel_id")
+        mat = np.stack([np.asarray(v) for v in g["vals"]])    # (npix, tc)
+        assert mat.shape[0] == height * width, "incomplete pixel set in chunk"
+        t0 = int(g["t_start"].iloc[0])
+        cube = mat.T.reshape(mat.shape[1], height, width)     # (tc, h, w)
+        tbl = _emit(np.arange(t0, t0 + cube.shape[0], dtype=np.int64), cube)
+        return tbl.to_pandas()
+
+    return sliced.groupby("chunk").map_groups(reassemble, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# toblocks — spatial chunking with halo padding (thunder Images.toblocks,
+# images.py:~130 + blocks/local.py:~30)
+
+def toblocks(ds, grid=(2, 2), padding: int = 0):
+    """Frames -> per-(block, frame) rows where each block's slice includes a
+    ``padding``-pixel halo of its spatial neighbours (clipped at the image
+    boundary, like thunder's BlocksLocal).  ``groupby("block")`` then gives
+    each consumer a block-major cube with true neighbour context — the
+    duplicate-boundary-rows pattern for neighbourhood ops (localcorr,
+    map_as_series).  Partitioning assumption: one block x all frames fits a
+    worker; halo duplication factor ~ (1 + 2*padding/block_side)^2."""
+    gy, gx = grid
+
+    def slice_blocks(batch: pa.Table) -> pa.Table:
+        fid, cube, h, w = _cube(batch)
+        yb = np.linspace(0, h, gy + 1).astype(np.int64)
+        xb = np.linspace(0, w, gx + 1).astype(np.int64)
+        tables = []
+        n = len(fid)
+        for by in range(gy):
+            for bx in range(gx):
+                y0, y1 = int(yb[by]), int(yb[by + 1])
+                x0, x1 = int(xb[bx]), int(xb[bx + 1])
+                yy0, yy1 = max(y0 - padding, 0), min(y1 + padding, h)
+                xx0, xx1 = max(x0 - padding, 0), min(x1 + padding, w)
+                sub = np.ascontiguousarray(cube[:, yy0:yy1, xx0:xx1])
+                sh, sw = sub.shape[1], sub.shape[2]
+                tables.append(pa.table({
+                    "block": _i64(np.full(n, by * gx + bx)),
+                    "frame_id": _i64(fid),
+                    "y0": _i64(np.full(n, y0)), "y1": _i64(np.full(n, y1)),
+                    "x0": _i64(np.full(n, x0)), "x1": _i64(np.full(n, x1)),
+                    "yy0": _i64(np.full(n, yy0)), "xx0": _i64(np.full(n, xx0)),
+                    "sh": _i64(np.full(n, sh)), "sw": _i64(np.full(n, sw)),
+                    "vals": pa.ListArray.from_arrays(
+                        pa.array(np.arange(0, (n + 1) * sh * sw, sh * sw,
+                                           dtype=np.int32)),
+                        pa.array(sub.reshape(-1))),
+                }))
+        return pa.concat_tables(tables)
+
+    return ds.map_batches(slice_blocks, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def localcorr(ds, size: int = 3, grid=(2, 2)):
+    """thunder Images.localcorr (images.py:~430): correlate each pixel's
+    time series with its size x size NEIGHBOURHOOD-SUM series (correlation
+    is scale-invariant, so sum == mean — and the sum keeps every aggregate
+    an exact int64, making the one float corr expression bit-reproducible
+    by the SQL twin).  Neighbourhoods clip at the image boundary; block
+    boundaries see true neighbours via the toblocks halo.
+
+    Output: (y, x, corr) per pixel."""
+    r = size // 2
+    blocks = toblocks(ds, grid=grid, padding=r)
+
+    def per_block(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("frame_id")
+        sh, sw = int(g["sh"].iloc[0]), int(g["sw"].iloc[0])
+        y0, y1 = int(g["y0"].iloc[0]), int(g["y1"].iloc[0])
+        x0, x1 = int(g["x0"].iloc[0]), int(g["x1"].iloc[0])
+        yy0, xx0 = int(g["yy0"].iloc[0]), int(g["xx0"].iloc[0])
+        cube = np.stack([np.asarray(v).reshape(sh, sw) for v in g["vals"]])
+        t = cube.shape[0]
+        # clipped box sum per frame via zero-padded integral image
+        p = np.pad(cube, ((0, 0), (r, r), (r, r)))
+        c = p.cumsum(axis=1).cumsum(axis=2)
+        c = np.pad(c, ((0, 0), (1, 0), (1, 0)))
+        k = 2 * r + 1
+        ysum = (c[:, k: k + sh, k: k + sw] - c[:, 0:sh, k: k + sw]
+                - c[:, k: k + sh, 0:sw] + c[:, 0:sh, 0:sw])
+        # core-pixel offsets within the sub-slice
+        cy0, cx0 = y0 - yy0, x0 - xx0
+        ch, cw = y1 - y0, x1 - x0
+        x = cube[:, cy0: cy0 + ch, cx0: cx0 + cw].reshape(t, -1)
+        y = ysum[:, cy0: cy0 + ch, cx0: cx0 + cw].reshape(t, -1)
+        sx = x.sum(axis=0)
+        sy = y.sum(axis=0)
+        sxx = (x * x).sum(axis=0)
+        syy = (y * y).sum(axis=0)
+        sxy = (x * y).sum(axis=0)
+        # the ONE fixed float expression (mirrored by the SQL twin)
+        tf = np.float64(t)
+        num = tf * sxy.astype(np.float64) - sx.astype(np.float64) * sy.astype(np.float64)
+        den = (np.sqrt(tf * sxx.astype(np.float64)
+                       - sx.astype(np.float64) * sx.astype(np.float64))
+               * np.sqrt(tf * syy.astype(np.float64)
+                         - sy.astype(np.float64) * sy.astype(np.float64)))
+        corr = num / den
+        gy_idx = np.repeat(np.arange(y0, y1, dtype=np.int64), cw)
+        gx_idx = np.tile(np.arange(x0, x1, dtype=np.int64), ch)
+        return pd.DataFrame({"y": gy_idx, "x": gx_idx, "corr": corr})
+
+    return blocks.groupby("block").map_groups(per_block, batch_format="pandas")
