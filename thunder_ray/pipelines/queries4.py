@@ -28,29 +28,80 @@ def _i64(arr) -> pa.Array:
 # ---------------------------------------------------------------------------
 # Rolling-window aggregate over the 1m tier (exact ints -> exact mean)
 
-def rolling_mean_1m(sf_dir: str):
-    """Per (source, bucket): mean over the trailing ROLL_WINDOW buckets'
+DAY_SHARD = 1440         # 1m buckets per (key, day) shard
+
+
+def rolling_mean_1m(sf_dir: str, shard: int = DAY_SHARD):
+    """Per (source, bucket): mean over the trailing ROLL_WINDOW present rows'
     token sums/counts (count-weighted, edges use the available prefix).
-    Exact: rolling sums are int64; mean = float64(wsum)/wcnt once."""
+    Exact: rolling sums are int64; mean = float64(wsum)/wcnt once.
+
+    Sharded plan (VERDICT r1 #9 — no whole-key group on one worker):
+      1. tag rows with day = bucket // shard; per (source, day) shard emit
+         the day's rolling output AND its tail (last ROLL_WINDOW-1 rows)
+      2. a per-key pass over the day TAILS ONLY (#days x (W-1) rows — tiny)
+         assembles each day's carry-in rows (the W-1 rows preceding it)
+      3. shards re-grouped by (source, day) with carry rows prepended give
+         bit-identical rolling sums; carry rows are dropped from output.
+    """
     from .queries import rollup_documents
 
-    tier = rollup_documents(sf_dir, 60)
+    tier = rollup_documents(sf_dir, 60).select_columns(
+        ["source", "bucket", "count", "sum"])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        b = batch["bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.append_column("day", _i64(b // shard)).append_column(
+            "carry", _i64(np.zeros(len(b), dtype=np.int64)))
+
+    tagged = tier.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+
+    def day_tail(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("bucket")
+        return g.tail(ROLL_WINDOW - 1)
+
+    tails = tagged.groupby(["source", "day"]).map_groups(
+        day_tail, batch_format="pandas")
+
+    def carries(g: pd.DataFrame) -> pd.DataFrame:
+        # g: one source's day tails; emit, for every day with rows, the
+        # last W-1 rows that precede it (across any number of prior days)
+        g = g.sort_values(["day", "bucket"])
+        days = g["day"].to_numpy(np.int64)
+        uniq_days = np.unique(days)
+        out = []
+        for d in uniq_days[1:]:
+            prev = g[g["day"] < d].tail(ROLL_WINDOW - 1)
+            if len(prev):
+                p = prev.copy()
+                p["day"] = d
+                p["carry"] = 1
+                out.append(p)
+        if not out:
+            return g.head(0)
+        return pd.concat(out, ignore_index=True)
+
+    carry = tails.groupby("source").map_groups(
+        carries, batch_format="pandas").map_batches(
+        lambda b: b, batch_format="pyarrow")   # arrow blocks for the union
 
     def roll(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("bucket")
+        g = g.sort_values(["bucket", "carry"])
         s = g["sum"].to_numpy(np.int64)
         c = g["count"].to_numpy(np.int64)
         ws = pd.Series(s).rolling(ROLL_WINDOW, min_periods=1).sum().to_numpy().astype(np.int64)
         wc = pd.Series(c).rolling(ROLL_WINDOW, min_periods=1).sum().to_numpy().astype(np.int64)
+        keep = g["carry"].to_numpy(np.int64) == 0
         return pd.DataFrame({
-            "source": g["source"].to_numpy(),
-            "bucket": g["bucket"].to_numpy(np.int64),
-            "wsum": ws,
-            "wcount": wc,
-            "wmean": ws.astype(np.float64) / wc,
+            "source": g["source"].to_numpy()[keep],
+            "bucket": g["bucket"].to_numpy(np.int64)[keep],
+            "wsum": ws[keep],
+            "wcount": wc[keep],
+            "wmean": ws[keep].astype(np.float64) / wc[keep],
         })
 
-    return tier.groupby("source").map_groups(roll, batch_format="pandas")
+    return tagged.union(carry).groupby(["source", "day"]).map_groups(
+        roll, batch_format="pandas")
 
 
 def _rolling_mean_sql() -> str:
@@ -145,24 +196,90 @@ def asof_join_events_1m(sf_dir: str):
 
     tb = tier.map_batches(tier_rows, batch_format="pyarrow", zero_copy_batch=True)
 
+    # --- sharded by (event_type, day) (VERDICT r1 #9) -------------------
+    # 1. tag both sides with day = ebucket // DAY_SHARD
+    # 2. per (key, day) reduce the TIER side to its last row; per-key pass
+    #    over those lasts + the set of days present (tiny: #days rows)
+    #    emits each day's carry-in tier row (running as-of state)
+    # 3. shards grouped by (key, day) see their own tier rows plus the
+    #    carry row, so searchsorted within the shard is globally correct.
+
+    def tag(batch: pa.Table) -> pa.Table:
+        b = batch["ebucket"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.append_column("day", _i64(b // DAY_SHARD))
+
+    evd = evb.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+    tbd = tb.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+
+    def day_last(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values("ebucket").tail(1)
+
+    tier_lasts = tbd.groupby(["event_type", "day"]).map_groups(
+        day_last, batch_format="pandas")
+
+    # days that contain events (so carries target event-only days too)
+    from ray.data.aggregate import Count
+
+    ev_days = evd.groupby(["event_type", "day"]).aggregate(Count(alias_name="_n"))
+
+    def ev_day_rows(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table({
+            "event_id": _i64(np.full(n, -1, dtype=np.int64)),
+            "event_type": batch["event_type"].combine_chunks()
+            if isinstance(batch["event_type"], pa.ChunkedArray) else batch["event_type"],
+            "ebucket": _i64(np.full(n, -1, dtype=np.int64)),
+            "side": _i64(np.full(n, 2, dtype=np.int64)),   # day marker
+            "t_count": _i64(np.zeros(n, dtype=np.int64)),
+            "t_sum": _i64(np.zeros(n, dtype=np.int64)),
+            "day": _i64(batch["day"].to_numpy(zero_copy_only=False)),
+        })
+
+    markers = ev_days.map_batches(ev_day_rows, batch_format="pyarrow")
+
+    def carries(g: pd.DataFrame) -> pd.DataFrame:
+        # g: one key's day-last tier rows (side 0) + event-day markers
+        # (side 2); walk days ascending keeping the latest tier row seen
+        # BEFORE each day -> that day's carry-in row
+        g = g.sort_values(["day", "side"])
+        days = np.unique(g["day"].to_numpy(np.int64))
+        tier_rows = g[g["side"].to_numpy(np.int64) == 0]
+        td = tier_rows["day"].to_numpy(np.int64)
+        out = []
+        for d in days:
+            prev = tier_rows[td < d]
+            if len(prev):
+                p = prev.tail(1).copy()
+                p["day"] = d
+                out.append(p)
+        if not out:
+            return g.head(0)
+        return pd.concat(out, ignore_index=True)
+
+    carry = tier_lasts.map_batches(
+        lambda b: b, batch_format="pyarrow").union(markers).groupby(
+        "event_type").map_groups(carries, batch_format="pandas").map_batches(
+        lambda b: b, batch_format="pyarrow")   # arrow blocks for the union
+
     def asof(g: pd.DataFrame) -> pd.DataFrame:
         # vectorized as-of: tier buckets sorted, searchsorted per event
         side = g["side"].to_numpy(np.int64)
         tg = g[side == 0].sort_values("ebucket")
         eg = g[side == 1]
-        tb = tg["ebucket"].to_numpy(np.int64)
-        idx = np.searchsorted(tb, eg["ebucket"].to_numpy(np.int64), side="right") - 1
+        tbk = tg["ebucket"].to_numpy(np.int64)
+        idx = np.searchsorted(tbk, eg["ebucket"].to_numpy(np.int64), side="right") - 1
         keep = idx >= 0
         sel = idx[keep]
         return pd.DataFrame({
             "event_id": eg["event_id"].to_numpy(np.int64)[keep],
-            "asof_bucket": tb[sel],
+            "asof_bucket": tbk[sel],
             "asof_count": tg["t_count"].to_numpy(np.int64)[sel],
             "asof_sum": tg["t_sum"].to_numpy(np.int64)[sel],
         })
 
-    merged = evb.union(tb)
-    return merged.groupby("event_type").map_groups(asof, batch_format="pandas")
+    merged = evd.union(tbd).union(carry)
+    return merged.groupby(["event_type", "day"]).map_groups(
+        asof, batch_format="pandas")
 
 
 ASOF_JOIN_SQL = """
