@@ -54,3 +54,33 @@ def test_constructed_series_feeds_rollup(ray_session):
     a = np.arange(40, dtype=np.int32).reshape(4, 10)
     out = ru.rollup_tokens(src.from_array(a), 3600).take_all()
     assert sum(r["count"] for r in out) == 40
+
+
+def test_flatten_collapses_keys(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from thunder_ray.sources.series import flatten
+
+    t = pa.table({
+        "source": pa.array(["a", "b"]),
+        "doc_id": pa.array([1, 2], type=pa.int64()),
+        "n": pa.array([10, 20], type=pa.int64()),
+    })
+    rows = flatten(rd.from_arrow(t)).take_all()
+    assert sorted(r["key"] for r in rows) == ["a/1", "b/2"]
+    assert {r["key"]: r["n"] for r in rows} == {"a/1": 10, "b/2": 20}
+
+
+def test_totext_fromtext_roundtrip(ray_session, tmp_path):
+    import numpy as np
+
+    from thunder_ray.sources.series import from_array, from_text, to_array, to_text
+
+    vals = np.arange(24, dtype=np.int32).reshape(4, 6)
+    out = str(tmp_path / "txt")
+    to_text(from_array(vals), out)
+    back = to_array(from_text(out), value_column="tokens")
+    got = back[np.lexsort(back.T[::-1])]
+    want = vals[np.lexsort(vals.T[::-1])]
+    assert np.array_equal(got, want)

@@ -570,6 +570,36 @@ FROM documents
 """
 
 
+def flatten_keys_documents(sf_dir: str):
+    """thunder ``Series.flatten`` (series.py:~100) — collapse the
+    (source, doc_id) key axes to one linear string key; values untouched."""
+    import pyarrow.compute as pc
+
+    from ..sources.series import flatten
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "n_chars"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": _i64(batch["doc_id"].to_numpy(zero_copy_only=False)),
+            "source": batch["source"].combine_chunks()
+            if isinstance(batch["source"], pa.ChunkedArray) else batch["source"],
+            "n_chars": pa.array(batch["n_chars"].to_numpy(
+                zero_copy_only=False).astype(np.int64)),
+        })
+
+    return flatten(ds.map_batches(prep, batch_format="pyarrow",
+                                  zero_copy_batch=True),
+                   key_columns=("source", "doc_id"))
+
+
+FLATTEN_KEYS_SQL = """
+SELECT source || '/' || CAST(doc_id AS VARCHAR) AS key,
+       CAST(n_chars AS BIGINT) AS n_chars
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 
@@ -606,6 +636,7 @@ def build_queries() -> dict:
         "rollup_events_1h": rollup_events_1h,
         "dedup_exact_documents": dedup_exact_documents,
         "token_count_documents": token_count_documents,
+        "flatten_keys_documents": flatten_keys_documents,
     }
 
 
@@ -642,4 +673,5 @@ def build_oracle_sql() -> dict:
         "rollup_events_1h": ROLLUP_EVENTS_1H_SQL,
         "dedup_exact_documents": DEDUP_EXACT_SQL,
         "token_count_documents": TOKEN_COUNT_SQL,
+        "flatten_keys_documents": FLATTEN_KEYS_SQL,
     }

@@ -112,6 +112,57 @@ def from_random(rows: int, rows_per_block: int = 10_000, seed: int = 42):
     return synth_dataset(rows, rows_per_block=rows_per_block, seed=seed)
 
 
+def flatten(ds, key_columns=("source", "doc_id"), sep: str = "/"):
+    """thunder ``Series.flatten`` (series.py:~100): collapse all key axes to
+    one.  Thunder linearizes an n-d key tuple; the engine's analogue joins
+    the key COLUMNS into one string key (vectorized Arrow concat) — rows
+    and values untouched, single-key downstream ops compose."""
+    import pyarrow.compute as pc
+
+    key_columns = list(key_columns)
+
+    def f(batch: pa.Table) -> pa.Table:
+        parts = []
+        for c in key_columns:
+            col = batch[c]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            parts.append(col.cast(pa.string()))
+        key = pc.binary_join_element_wise(*parts, sep)
+        keep = [c for c in batch.column_names if c not in key_columns]
+        out = batch.select(keep)
+        return out.add_column(0, "key", key)
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def to_text(ds, path: str, value_column: str = "tokens"):
+    """thunder ``Series.totext`` (series/writers.py:~80): one line per
+    record, whitespace-separated values — engine wrapper emitting a single
+    text column then Ray's parallel CSV writer (one file per block).
+    Round-trips through :func:`from_text` (skip=0)."""
+    import pyarrow.compute as pc
+
+    def to_lines(batch: pa.Table) -> pa.Table:
+        col = batch[value_column]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        strs = pc.cast(col.values, pa.string())
+        lists = pa.ListArray.from_arrays(col.offsets, strs)
+        return pa.table({"value": pc.binary_join(lists, " ")})
+
+    def csv_args():
+        from pyarrow import csv as pacsv
+
+        # WriteOptions is not picklable; construct on the writer task
+        return {"write_options": pacsv.WriteOptions(
+            include_header=False, quoting_style="none")}
+
+    ds.map_batches(to_lines, batch_format="pyarrow",
+                   zero_copy_batch=True).write_csv(path, arrow_csv_args_fn=csv_args)
+    return path
+
+
 def to_array(ds, value_column: str = "tokens") -> np.ndarray:
     """thunder ``toarray`` (collect): rows sorted by doc_id -> 2-D array
     (requires uniform lengths, like thunder Series)."""
