@@ -52,10 +52,23 @@ def _i64(arr) -> pa.Array:
 # ---------------------------------------------------------------------------
 # Tier rollups over documents-derived tokens (the flagship; SURVEY.md §2.5-2.6)
 
+# Rolled tiers are the engine's materialized artifacts: several queries
+# (rolling window, retention, as-of, gap-fill) READ a tier rather than
+# re-rolling raw tokens.  Cache the materialized tier per (sf_dir, tier) —
+# object-store blocks, rolled-point scale, exactly what tiers.py persists
+# to parquet in the production pipeline.  (Cache entries assume the Ray
+# session they were built in is still alive — true for the driver, bench
+# and pytest, which each own one session.)
+_TIER_CACHE: dict = {}
+
+
 def rollup_documents(sf_dir: str, tier_seconds: int):
-    ds = tokens_from_documents(sf_dir)
-    out = ru.rollup_tokens(ds, tier_seconds, t0_column="doc_id_int")
-    return out.drop_columns(["sumsq"])
+    key = (sf_dir, tier_seconds)
+    if key not in _TIER_CACHE:
+        ds = tokens_from_documents(sf_dir)
+        out = ru.rollup_tokens(ds, tier_seconds, t0_column="doc_id_int")
+        _TIER_CACHE[key] = out.drop_columns(["sumsq"]).materialize()
+    return _TIER_CACHE[key]
 
 
 def rollup_documents_salted(sf_dir: str, tier_seconds: int, salt: int = 8):

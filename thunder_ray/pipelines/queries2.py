@@ -239,8 +239,16 @@ GROUP BY f.doc_id, g.woff
 # ---------------------------------------------------------------------------
 # Gap-fill (north rule): explicit linear interpolation of empty 1m buckets
 
+_EVENTS_TIER_CACHE: dict = {}
+
+
 def _events_rollup(sf_dir: str, tier_seconds: int):
-    """events -> per (event_type, bucket) exact-int count/sum at ``tier_seconds``."""
+    """events -> per (event_type, bucket) exact-int count/sum at
+    ``tier_seconds`` (materialized once per (sf_dir, tier) — tier artifacts
+    are read by several queries, like queries.rollup_documents)."""
+    key = (sf_dir, tier_seconds)
+    if key in _EVENTS_TIER_CACHE:
+        return _EVENTS_TIER_CACHE[key]
     from ray.data.aggregate import Sum
 
     ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
@@ -270,7 +278,8 @@ def _events_rollup(sf_dir: str, tier_seconds: int):
     merged = ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True).groupby(
         ["event_type", "bucket"]
     ).aggregate(Sum("count", alias_name="count"), Sum("sum_s", alias_name="sum_s"))
-    return merged
+    _EVENTS_TIER_CACHE[key] = merged.materialize()
+    return _EVENTS_TIER_CACHE[key]
 
 
 def _pair_fill(src, pb, nb, pm, nm):
