@@ -84,3 +84,26 @@ def test_totext_fromtext_roundtrip(ray_session, tmp_path):
     got = back[np.lexsort(back.T[::-1])]
     want = vals[np.lexsort(vals.T[::-1])]
     assert np.array_equal(got, want)
+
+
+def test_tobinary_frombinary_roundtrip(ray_session, tmp_path):
+    """thunder Series.tobinary/frombinary parity: fixed-width records +
+    conf.json sidecar, values and integer keys preserved exactly."""
+    import json
+
+    import numpy as np
+
+    from thunder_ray.sources.binary import from_binary, to_binary
+    from thunder_ray.sources.series import from_array
+
+    vals = (np.arange(40, dtype=np.int32).reshape(5, 8) * 7) % 50_000
+    out = str(tmp_path / "bin")
+    to_binary(from_array(vals), out)
+    conf = json.load(open(f"{out}/conf.json"))
+    assert conf == {"nkeys": 1, "keytype": "<i8", "nvalues": 8,
+                    "valuetype": "<i4"}
+    rows = from_binary(out).take_all()
+    assert len(rows) == 5
+    got = {int(r["doc_id"].split("-")[1]): np.asarray(r["tokens"]) for r in rows}
+    for i in range(5):
+        assert np.array_equal(got[i], vals[i])   # mem-%08d keys -> ints 0..4

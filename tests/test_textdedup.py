@@ -237,3 +237,14 @@ def test_decode_stage_end_to_end(ray_session):
     # histogram counts must sum to n_bytes
     for r in feats[:5]:
         assert int(np.sum(r["features"])) == int(r["n_bytes"])
+
+
+def test_ann_ivf_recall(ray_session):
+    from thunder_ray.pipelines.ann import ann_ivf_topk_embeddings, ann_topk_embeddings
+
+    sf = "/root/testdata/sf0.001"
+    brute = {(r["query_id"], r["vec_id"]) for r in ann_topk_embeddings(sf).take_all()}
+    ivf = {(r["query_id"], r["vec_id"]) for r in ann_ivf_topk_embeddings(sf).take_all()}
+    assert len(brute) > 0
+    recall = len(brute & ivf) / len(brute)
+    assert recall >= 0.3, f"IVF recall too low: {recall}"

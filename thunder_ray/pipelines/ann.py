@@ -197,10 +197,93 @@ def ann_lsh_topk_embeddings(sf_dir: str):
                                            zero_copy_batch=True, batch_size=None)
 
 
+IVF_CENTROIDS = 16
+IVF_NPROBE = 4
+IVF_ITERS = 5
+IVF_SAMPLE = 256
+
+
+def ann_ivf_topk_embeddings(sf_dir: str):
+    """IVF (inverted-file) approximate top-K — the third scale path next to
+    brute-force and hyperplane LSH: deterministic k-means-lite centroids
+    trained on a BOUNDED sample (the IVF_SAMPLE lowest vec_ids — seeded,
+    order-free), every vector assigned to its nearest centroid with one
+    matmul per batch, queries probing the IVF_NPROBE nearest lists.
+    Approximate by design -> rows-only driver check; recall pinned in
+    pytest against the exact brute-force operator."""
+    import ray
+    import ray.data as rd
+
+    rows = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                           columns=["vec_id", "embedding"]).sort("vec_id").limit(
+        IVF_SAMPLE).take_all()
+    S = np.stack([np.floor(np.asarray(r["embedding"], dtype=np.float64) * 1e6)
+                  for r in rows])
+    # k-means-lite on the sample (cosine geometry: L2-normalized rows)
+    Sn = S / np.linalg.norm(S, axis=1, keepdims=True)
+    C = Sn[:IVF_CENTROIDS].copy()
+    for _ in range(IVF_ITERS):
+        assign = (Sn @ C.T).argmax(axis=1)
+        for k in range(IVF_CENTROIDS):
+            m = assign == k
+            if m.any():
+                v = Sn[m].sum(axis=0)
+                C[k] = v / np.linalg.norm(v)
+    qids, Q = _load_queries(sf_dir)
+    Qn = Q.astype(np.float64)
+    Qn = Qn / np.linalg.norm(Qn, axis=1, keepdims=True)
+    # probe lists per query: the IVF_NPROBE nearest centroids
+    probe = np.argsort(-(Qn @ C.T), axis=1)[:, :IVF_NPROBE]   # (Qn, nprobe)
+    bref = ray.put((qids, Q, C, probe))
+
+    class Score:
+        def __init__(self):
+            self.qids, self.Q, self.C, self.probe = ray.get(bref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            from ..stages import listkernels as lk
+            from ..stages import signal as sg
+
+            vec = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            vals, offs = lk.list_parts(batch["embedding"])
+            Y = np.floor(sg.as_2d(vals, offs).astype(np.float64) * 1e6).astype(np.int64)
+            lists = (Y.astype(np.float64) @ self.C.T).argmax(axis=1)  # (n,)
+            # hits[row, q] = row's list is probed by query q
+            hits = (lists[:, None, None] == self.probe[None, :, :]).any(axis=2)
+            hits &= vec[:, None] != self.qids[None, :]
+            D = Y @ self.Q.T
+            row, qcol = np.nonzero(hits)
+            return pa.table({"query_id": _i64(self.qids[qcol]),
+                             "vec_id": _i64(vec[row]),
+                             "dot_s": _i64(D[row, qcol])})
+
+    cand = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                           columns=["vec_id", "embedding"]).map_batches(
+        Score, concurrency=(1, 4), batch_format="pyarrow", zero_copy_batch=True)
+
+    def final_topk(batch: pa.Table) -> pa.Table:
+        q = batch["query_id"].to_numpy(zero_copy_only=False)
+        v = batch["vec_id"].to_numpy(zero_copy_only=False)
+        d = batch["dot_s"].to_numpy(zero_copy_only=False)
+        if len(q) == 0:
+            return batch
+        order = np.lexsort((v, -d, q))
+        q, v, d = q[order], v[order], d[order]
+        change = np.flatnonzero(np.diff(q, prepend=q[0] - 1) != 0)
+        rank = np.arange(len(q)) - np.repeat(change, np.diff(np.append(change, len(q))))
+        keep = rank < TOP_K
+        return pa.table({"query_id": _i64(q[keep]), "vec_id": _i64(v[keep]),
+                         "dot_s": _i64(d[keep])})
+
+    return cand.repartition(1).map_batches(final_topk, batch_format="pyarrow",
+                                           zero_copy_batch=True, batch_size=None)
+
+
 def build_ann_queries() -> dict:
     return {
         "ann_topk_embeddings": ann_topk_embeddings,
         "ann_lsh_topk_embeddings": ann_lsh_topk_embeddings,
+        "ann_ivf_topk_embeddings": ann_ivf_topk_embeddings,
     }
 
 

@@ -412,6 +412,59 @@ FROM flat GROUP BY vec_id, panel_offset
 """
 
 
+def center_axis0_embeddings(sf_dir: str):
+    """thunder ``center(axis=0)`` (series.py:~280): subtract the
+    ACROSS-RECORD mean at each position — the global-mean-broadcast case
+    SURVEY §2.3 notes.  Pass 1 computes exact positionwise integer moments
+    (one tiny result per position, ``ray.put`` once); pass 2 subtracts with
+    the fixed expression ``float64(v) - float64(sum)/count``."""
+    import ray
+
+    rows = positionwise_mean_embeddings(sf_dir).take_all()   # |positions| rows
+    npos = max(int(r["pos"]) for r in rows) + 1
+    s = np.zeros(npos, dtype=np.int64)
+    c = np.zeros(npos, dtype=np.int64)
+    for r in rows:
+        s[int(r["pos"])] = int(r["sum_s"])
+        c[int(r["pos"])] = int(r["count"])
+    mean = s.astype(np.float64) / c
+    mref = ray.put(mean)
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    class Center:
+        def __init__(self):
+            self.mean = ray.get(mref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            v, offs = _scaled_list(batch["embedding"])
+            rel = offs - offs[0]
+            pos = lk.positions(offs)
+            vec = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            row = np.repeat(np.arange(len(vec), dtype=np.int64), np.diff(rel))
+            return pa.table({
+                "vec_id": _i64(vec[row]),
+                "pos": _i64(pos),
+                "centered": pa.array(v.astype(np.float64) - self.mean[pos]),
+            })
+
+    return ds.map_batches(Center, concurrency=(1, 4), batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+CENTER_AXIS0_EMB_SQL = """
+WITH flat AS (
+  SELECT vec_id, pos, CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS v
+  FROM (SELECT vec_id, unnest(embedding) AS x,
+               unnest(range(len(embedding))) AS pos FROM embeddings)
+),
+m AS (SELECT pos, CAST(SUM(v) AS BIGINT) AS s, COUNT(*) AS c FROM flat GROUP BY pos)
+SELECT CAST(f.vec_id AS BIGINT) AS vec_id, CAST(f.pos AS BIGINT) AS pos,
+       CAST(f.v AS DOUBLE) - (CAST(m.s AS DOUBLE) / m.c) AS centered
+FROM flat f JOIN m USING (pos)
+"""
+
+
 def positionwise_mean_embeddings(sf_dir: str):
     """Cross-record (axis-0) stats per position (thunder Data.mean/min/max,
     base.py:~270) — per-batch partial moments, then a tiny groupby merge."""
@@ -646,6 +699,7 @@ def build_queries() -> dict:
         "stat_by_index_embeddings": stat_by_index_embeddings,
         "mean_by_panel_embeddings": mean_by_panel_embeddings,
         "positionwise_mean_embeddings": positionwise_mean_embeddings,
+        "center_axis0_embeddings": center_axis0_embeddings,
         "rollup_events_1h": rollup_events_1h,
         "dedup_exact_documents": dedup_exact_documents,
         "token_count_documents": token_count_documents,
@@ -683,6 +737,7 @@ def build_oracle_sql() -> dict:
         "stat_by_index_embeddings": STAT_BY_INDEX_EMB_SQL,
         "mean_by_panel_embeddings": MEAN_BY_PANEL_EMB_SQL,
         "positionwise_mean_embeddings": POSITIONWISE_MEAN_EMB_SQL,
+        "center_axis0_embeddings": CENTER_AXIS0_EMB_SQL,
         "rollup_events_1h": ROLLUP_EVENTS_1H_SQL,
         "dedup_exact_documents": DEDUP_EXACT_SQL,
         "token_count_documents": TOKEN_COUNT_SQL,

@@ -1,0 +1,115 @@
+"""Fixed-width binary Series IO — literal thunder parity for
+``Series.tobinary`` (thunder/series/writers.py:~10) and
+``series.frombinary`` (thunder/series/readers.py:~170).
+
+Format (thunder's shape, adapted to the engine's single string key):
+one ``.bin`` file per Ray block of C-order records ``(key: int64,
+values: nvalues x valuetype)``, plus ONE ``conf.json`` sidecar declaring
+the record layout — the reader needs no other metadata::
+
+    {"nkeys": 1, "keytype": "<i8", "nvalues": D, "valuetype": "<i4"}
+
+Keys: thunder keys are int tuples; the engine's ``doc_id`` strings are
+reduced to their digits (``doc-00000042`` -> 42), which round-trips the
+canonical id families (``doc-``/``mem-``/``line-``).  Uniform value
+lengths are required, as in thunder.
+
+Writes are per-block tasks (parallel, one file per block named by the
+block's first key — deterministic and idempotent under task retries);
+reads are ``read_binary_files`` + a vectorized frombuffer reshape.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+
+
+def _keys_from_doc_ids(col) -> np.ndarray:
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    digits = pc.replace_substring_regex(col, r"\D+", "")
+    return np.asarray(digits.cast(pa.int64()).to_numpy(zero_copy_only=False),
+                      dtype=np.int64)
+
+
+def to_binary(ds, path: str, value_column: str = "tokens",
+              valuetype: str = "<i4"):
+    """Series Dataset -> fixed-width binary dir + conf.json; returns path."""
+    from ..stages import listkernels as lk
+
+    os.makedirs(path, exist_ok=True)
+    vt = np.dtype(valuetype)
+
+    def write_block(batch: pa.Table) -> pa.Table:
+        vals, offs = lk.list_parts(batch[value_column])
+        lens = np.diff(offs)
+        if len(lens) == 0:
+            return pa.table({"file": pa.array([], type=pa.string()),
+                             "rows": pa.array([], type=pa.int64()),
+                             "nvalues": pa.array([], type=pa.int64())})
+        d = int(lens[0])
+        if (lens != d).any():
+            raise ValueError("tobinary requires uniform series lengths")
+        keys = _keys_from_doc_ids(batch["doc_id"])
+        base = lk._base_values(vals, offs).reshape(len(keys), d).astype(vt)
+        # interleave key + values per record, C-order
+        rec = np.dtype([("k", "<i8"), ("v", vt, (d,))])
+        out = np.empty(len(keys), dtype=rec)
+        out["k"] = keys
+        out["v"] = base
+        fname = os.path.join(path, f"part-{int(keys[0]):012d}.bin")
+        tmp = fname + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(out.tobytes())
+        os.replace(tmp, fname)   # atomic, idempotent under retries
+        return pa.table({"file": pa.array([fname]),
+                         "rows": pa.array([len(keys)], type=pa.int64()),
+                         "nvalues": pa.array([d], type=pa.int64())})
+
+    manifest = ds.map_batches(write_block, batch_format="pyarrow",
+                              zero_copy_batch=True).take_all()
+    d = int(manifest[0]["nvalues"]) if manifest else 0
+    conf = {"nkeys": 1, "keytype": "<i8", "nvalues": d, "valuetype": valuetype}
+    with open(os.path.join(path, "conf.json"), "w") as f:
+        json.dump(conf, f)
+    return path
+
+
+def from_binary(path: str, source: str = "bin"):
+    """Binary dir (+conf.json) -> canonical Series Dataset."""
+    import ray.data as rd
+
+    with open(os.path.join(path, "conf.json")) as f:
+        conf = json.load(f)
+    d = int(conf["nvalues"])
+    vt = np.dtype(conf["valuetype"])
+    rec = np.dtype([("k", conf["keytype"]), ("v", vt, (d,))])
+
+    files = sorted(
+        os.path.join(path, p) for p in os.listdir(path) if p.endswith(".bin"))
+    ds = rd.read_binary_files(files)
+
+    def parse(batch: pa.Table) -> pa.Table:
+        tables = []
+        for blob in batch["bytes"]:
+            arr = np.frombuffer(blob.as_py(), dtype=rec)
+            n = len(arr)
+            vals32 = arr["v"].astype(np.int32).reshape(-1)
+            tables.append(pa.table({
+                "doc_id": pa.array([f"doc-{int(k):08d}" for k in arr["k"]],
+                                   type=pa.string()),
+                "tokens": pa.ListArray.from_arrays(
+                    pa.array(np.arange(0, (n + 1) * d, d, dtype=np.int32)),
+                    pa.array(vals32)),
+                "n_tok": pa.array(np.full(n, d, dtype=np.int32)),
+                "source": pa.array([source] * n, type=pa.string()),
+            }))
+        return pa.concat_tables(tables)
+
+    return ds.map_batches(parse, batch_format="pyarrow")
