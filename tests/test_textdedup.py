@@ -248,3 +248,21 @@ def test_ann_ivf_recall(ray_session):
     assert len(brute) > 0
     recall = len(brute & ivf) / len(brute)
     assert recall >= 0.3, f"IVF recall too low: {recall}"
+
+
+def test_resize_stage_nearest_neighbour(ray_session):
+    import ray.data as rd
+
+    from thunder_ray.stages import multimodal as mm
+
+    payloads = [b"hello world this is a payload", bytes(range(1, 200))]
+    tbl = pa.table({
+        "media_id": pa.array([1, 2], type=pa.int64()),
+        "payload": pa.array(payloads, type=pa.binary()),
+    })
+    rows = mm.resize_stage(rd.from_arrow(tbl)).take_all()
+    got = {int(r["media_id"]): np.asarray(r["resized"]) for r in rows}
+    for mid, p in zip([1, 2], payloads):
+        n = len(p)
+        want = np.array([p[(j * n) // mm.RESIZE_DIM] for j in range(mm.RESIZE_DIM)])
+        assert np.array_equal(got[mid], want), mid

@@ -136,6 +136,45 @@ def frame_sample_stage(media_ds, every_k: int = 4, concurrency=(1, 2)):
                                 batch_size=64, batch_format="pyarrow")
 
 
+RESIZE_DIM = 32
+
+
+def resize_stage(media_ds, out_dim: int = RESIZE_DIM, concurrency=(1, 2)):
+    """'Resize' for opaque media: nearest-neighbour resample of the payload
+    bytes to a fixed ``out_dim`` (the image-resize analogue on the stubbed
+    decode path; a real decoder would resample pixels the same way).
+    Fully vectorized: one gather over the batch's flat byte buffer with
+    per-row stride indices ``(j * n_row) // out_dim``."""
+
+    class Resizer:
+        def __init__(self):
+            self.j = np.arange(out_dim, dtype=np.int64)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            payload = batch["payload"]
+            if isinstance(payload, pa.ChunkedArray):
+                payload = payload.combine_chunks()
+            buf = np.frombuffer(payload.buffers()[2], dtype=np.uint8)
+            offs = np.frombuffer(payload.buffers()[1], dtype=np.int32)[
+                payload.offset: payload.offset + len(payload) + 1].astype(np.int64)
+            lens = np.diff(offs)
+            if (lens == 0).any():
+                raise ValueError("resize_stage requires non-empty payloads")
+            idx = offs[:-1, None] + (self.j[None, :] * lens[:, None]) // out_dim
+            resized = buf[idx].astype(np.int64)          # (n, out_dim)
+            vals = pa.FixedSizeListArray.from_arrays(
+                pa.array(resized.reshape(-1)), out_dim)
+            return pa.table({
+                "media_id": batch["media_id"].combine_chunks()
+                if isinstance(batch["media_id"], pa.ChunkedArray) else batch["media_id"],
+                "resized": vals,
+            })
+
+    return media_ds.map_batches(Resizer, concurrency=concurrency,
+                                batch_size=64, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+
 # ---------------------------------------------------------------------------
 # Driver queries
 
@@ -183,10 +222,41 @@ FROM documents
 """
 
 
+def media_resize_documents(sf_dir: str):
+    """Flattened resize output: (media_id, j, v) — v is the payload byte at
+    ``(j * n) // 32``, which the SQL twin reproduces with ascii(substring)
+    on the (verified pure-ASCII) documents text."""
+    resized = resize_stage(media_from_documents(sf_dir))
+
+    def flat(batch: pa.Table) -> pa.Table:
+        r = batch["resized"]
+        if isinstance(r, pa.ChunkedArray):
+            r = r.combine_chunks()
+        V = np.asarray(r.values.to_numpy(zero_copy_only=False)).reshape(-1, RESIZE_DIM)
+        mid = batch["media_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "media_id": pa.array(np.repeat(mid, RESIZE_DIM)),
+            "j": pa.array(np.tile(np.arange(RESIZE_DIM, dtype=np.int64), len(mid))),
+            "v": pa.array(V.reshape(-1).astype(np.int64)),
+        })
+
+    return resized.map_batches(flat, batch_format="pyarrow", zero_copy_batch=True)
+
+
+MEDIA_RESIZE_SQL = f"""
+SELECT CAST(doc_id AS BIGINT) AS media_id, CAST(j AS BIGINT) AS j,
+       CAST(ascii(substring(text,
+            CAST(j * octet_length(CAST(text AS BLOB)) // {RESIZE_DIM} AS INTEGER) + 1,
+            1)) AS BIGINT) AS v
+FROM (SELECT doc_id, text, unnest(range({RESIZE_DIM})) AS j FROM documents)
+"""
+
+
 def build_multimodal_queries() -> dict:
     return {
         "multimodal_features_documents": multimodal_features_documents,
         "frame_sample_documents": frame_sample_documents,
+        "media_resize_documents": media_resize_documents,
     }
 
 
@@ -194,4 +264,5 @@ def build_multimodal_sql() -> dict:
     return {
         "multimodal_features_documents": MULTIMODAL_FEATURES_SQL,
         "frame_sample_documents": FRAME_SAMPLE_SQL,
+        "media_resize_documents": MEDIA_RESIZE_SQL,
     }
