@@ -189,6 +189,72 @@ FROM flat f JOIN b USING (vec_id)
 """
 
 
+NORM_WINDOW = 8          # window-exact normalize: positions [i-4, i+4)
+
+
+def normalize_window_embeddings(sf_dir: str, offset_scaled: float = 100_000.0):
+    """thunder ``normalize(method='window-exact', window=8)`` (series.py:
+    ~770): per position, baseline = 25th percentile of the CLIPPED 8-wide
+    window, normalized = (v - b) / (b + offset).  Window sizes at the edges
+    are 4..8, so (n_w - 1) * 0.25 always has a power-of-two fraction and
+    the explicit lo/hi/frac percentile expression is bit-reproducible by
+    the SQL twin (same discipline as normalize_percentile_embeddings)."""
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    half = NORM_WINDOW // 2
+
+    def f(batch: pa.Table) -> pa.Table:
+        vec, Y = _emb_2d(batch)
+        n, d = Y.shape
+        b = np.empty((n, d), dtype=np.float64)
+        for i in range(d):
+            w0, w1 = max(0, i - half), min(d, i + NORM_WINDOW - half)
+            W = np.sort(Y[:, w0:w1], axis=1)
+            p = (w1 - w0 - 1) * 0.25
+            lo, hi = int(np.floor(p)), int(np.ceil(p))
+            frac = p - lo
+            b[:, i] = (W[:, lo].astype(np.float64) * (1 - frac)
+                       + W[:, hi].astype(np.float64) * frac)
+        out = (Y.astype(np.float64) - b) / (b + offset_scaled)
+        return pa.table({
+            "vec_id": _i64(np.repeat(vec, d)),
+            "pos": _i64(np.tile(np.arange(d, dtype=np.int64), n)),
+            "norm": pa.array(out.reshape(-1)),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+NORMALIZE_WINDOW_EMB_SQL = f"""
+WITH flat AS (
+  SELECT vec_id, pos, CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS v
+  FROM (SELECT vec_id, unnest(embedding) AS x,
+               unnest(range(len(embedding))) AS pos FROM embeddings)
+),
+win AS (
+  SELECT a.vec_id, a.pos, b.v
+  FROM flat a JOIN flat b ON b.vec_id = a.vec_id
+   AND b.pos BETWEEN a.pos - {NORM_WINDOW // 2} AND a.pos + {NORM_WINDOW - NORM_WINDOW // 2 - 1}
+),
+ranked AS (
+  SELECT vec_id, pos, v,
+         row_number() OVER (PARTITION BY vec_id, pos ORDER BY v) AS rk,
+         COUNT(*) OVER (PARTITION BY vec_id, pos) AS nw
+  FROM win
+),
+b AS (
+  SELECT vec_id, pos,
+         CAST(MIN(CASE WHEN rk = CAST(floor((nw - 1) * 0.25) AS BIGINT) + 1 THEN v END) AS DOUBLE)
+           * (1.0 - ((nw - 1) * 0.25 - floor((nw - 1) * 0.25)))
+       + CAST(MIN(CASE WHEN rk = CAST(ceil((nw - 1) * 0.25) AS BIGINT) + 1 THEN v END) AS DOUBLE)
+           * ((nw - 1) * 0.25 - floor((nw - 1) * 0.25)) AS base
+  FROM ranked GROUP BY vec_id, pos, nw
+)
+SELECT f.vec_id, CAST(f.pos AS BIGINT) AS pos,
+       (CAST(f.v AS DOUBLE) - b.base) / (b.base + 100000.0) AS norm
+FROM flat f JOIN b USING (vec_id, pos)
+"""
+
+
 # ---------------------------------------------------------------------------
 # mean_by_window over tokens (thunder series.py:~1030)
 
@@ -576,6 +642,7 @@ def build_queries2() -> dict:
         "detrend_linear_embeddings": detrend_linear_embeddings,
         "correlate_embeddings": correlate_embeddings,
         "normalize_percentile_embeddings": normalize_percentile_embeddings,
+        "normalize_window_embeddings": normalize_window_embeddings,
         "mean_by_window_tokens": mean_by_window_tokens,
         "gap_fill_1m_events": gap_fill_1m_events,
         "sketch_rollup_1m": sketch_rollup_1m,
@@ -595,6 +662,7 @@ def build_oracle_sql2() -> dict:
         "detrend_linear_embeddings": DETREND_LINEAR_EMB_SQL,
         "correlate_embeddings": CORRELATE_EMB_SQL,
         "normalize_percentile_embeddings": NORMALIZE_PCT_EMB_SQL,
+        "normalize_window_embeddings": NORMALIZE_WINDOW_EMB_SQL,
         "mean_by_window_tokens": MEAN_BY_WINDOW_SQL,
         "gap_fill_1m_events": GAP_FILL_EVENTS_SQL,
         "sketch_rollup_1m": _rollup_sql(60),
