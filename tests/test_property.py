@@ -115,3 +115,59 @@ def test_sharded_windows_invariant_to_shard_size(ray_session):
     c = norm(gap_fill_1m_events(sf))
     d = norm(gap_fill_1m_events(sf, shard=13))
     pd.testing.assert_frame_equal(c, d)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.text(max_size=30), min_size=1, max_size=10))
+def test_rolling_fingerprint_property(texts):
+    """Vectorized Mersenne-mod Rabin-Karp == per-row big-int oracle on
+    arbitrary unicode (multi-byte UTF-8 exercises the byte paths the ASCII
+    fixtures cannot)."""
+    import pyarrow as pa
+
+    from thunder_ray.pipelines.textops import KGRAM, _rolling_fp_batch
+
+    MOD, BASE = (1 << 61) - 1, 257
+
+    def oracle_fp(t):
+        b = t.encode("utf-8")
+        if len(b) < KGRAM:
+            h = 0
+            for x in b:
+                h = (h * BASE + x) % MOD
+            return h
+        best = MOD
+        for i in range(len(b) - KGRAM + 1):
+            h = 0
+            for x in b[i: i + KGRAM]:
+                h = (h * BASE + x) % MOD
+            best = min(best, h)
+        return best
+
+    tbl = pa.table({
+        "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+        "text": pa.array(texts),
+    })
+    got = _rolling_fp_batch(tbl)["fingerprint_u64"].to_pylist()
+    for i, t in enumerate(texts):
+        assert int(got[i]) == oracle_fp(t), repr(t)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.text(alphabet=" abcdeé", max_size=25), min_size=1, max_size=8))
+def test_minhash_simhash_batch_property(texts):
+    """Batch kernels == scalar references for arbitrary (incl. empty,
+    multi-space, non-ASCII) texts."""
+    import pyarrow as pa
+
+    from thunder_ray.pipelines import dedup as dd
+
+    tbl = pa.table({
+        "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+        "text": pa.array(texts),
+    })
+    sigs = dd.minhash_signatures_batch(tbl)
+    sims = dd.simhash_batch(tbl)
+    for i, t in enumerate(texts):
+        assert np.array_equal(sigs[i], dd.minhash_signature(dd._shingle_set(t))), repr(t)
+        assert int(sims[i]) == dd.simhash64(t), repr(t)
