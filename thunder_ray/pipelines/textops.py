@@ -435,7 +435,10 @@ def _rolling_fp_batch(batch: pa.Table) -> pa.Table:
             m = j < s_lens
             if not m.any():
                 continue
-            idx = np.where(m, s_starts + j, s_starts)
+            # masked rows use index 0 as a safe dummy (their contrib is
+            # zeroed): an empty trailing doc's s_start == len(data), which
+            # would index out of bounds (found by hypothesis: ['0', ''])
+            idx = np.where(m, s_starts + j, 0)
             contrib = np.where(m, data[idx], np.uint64(0))
             pw = ptab[np.maximum(s_lens - 1 - j, 0)]
             h = _mersenne_fold(h + _mul_byte_mod(contrib, pw))
