@@ -351,26 +351,34 @@ def _events_rollup(sf_dir: str, tier_seconds: int):
 def _pair_fill(src, pb, nb, pm, nm):
     """Fill rows for consecutive present-bucket pairs — the ONE fixed
     interpolation expression ``pm + (nm - pm) * ((b - pb) / (nb - pb))``
-    (SQL-identical), vectorized over pairs."""
+    (SQL-identical), fully vectorized over ALL pairs' missing buckets
+    (repeat + intra-arange; elementwise float ops are bit-identical to the
+    former per-pair loop)."""
     import pandas as pd
 
-    out_s, out_b, out_m = [], [], []
-    for i in range(len(pb)):
-        if nb[i] <= pb[i] + 1:
-            continue
-        miss = np.arange(pb[i] + 1, nb[i], dtype=np.int64)
-        out_s.append(np.full(len(miss), src[i], dtype=object))
-        out_b.append(miss)
-        out_m.append(pm[i] + (nm[i] - pm[i])
-                     * ((miss - pb[i]).astype(np.float64) / np.float64(nb[i] - pb[i])))
-    if not out_b:
+    pb = np.asarray(pb, dtype=np.int64)
+    nb = np.asarray(nb, dtype=np.int64)
+    pm = np.asarray(pm, dtype=np.float64)
+    nm = np.asarray(nm, dtype=np.float64)
+    src = np.asarray(src, dtype=object)
+    gap = np.maximum(nb - pb - 1, 0)
+    keep = gap > 0
+    pb, nb, pm, nm, src, gap = (pb[keep], nb[keep], pm[keep], nm[keep],
+                                src[keep], gap[keep])
+    if not len(gap):
         return pd.DataFrame({"event_type": pd.Series([], dtype=str),
                              "bucket": pd.Series([], dtype=np.int64),
                              "mean_fill": pd.Series([], dtype=np.float64)})
+    rep = np.repeat(np.arange(len(gap), dtype=np.int64), gap)
+    intra = (np.arange(int(gap.sum()), dtype=np.int64)
+             - np.repeat(np.cumsum(gap) - gap, gap))
+    miss = pb[rep] + 1 + intra
+    mean = pm[rep] + (nm[rep] - pm[rep]) * (
+        (miss - pb[rep]).astype(np.float64) / (nb[rep] - pb[rep]).astype(np.float64))
     return pd.DataFrame({
-        "event_type": np.concatenate(out_s),
-        "bucket": np.concatenate(out_b),
-        "mean_fill": np.concatenate(out_m),
+        "event_type": src[rep],
+        "bucket": miss,
+        "mean_fill": mean,
     })
 
 

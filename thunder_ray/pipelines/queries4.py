@@ -148,8 +148,10 @@ def retention_1m(sf_dir: str):
         def __call__(self, batch: pa.Table) -> pa.Table:
             src = batch["source"].to_numpy(zero_copy_only=False)
             b = batch["bucket"].to_numpy(zero_copy_only=False)
-            cut = np.array([self.cut[s] for s in src], dtype=np.int64)
-            return batch.filter(pa.array(b > cut))
+            # dict lookup once per UNIQUE source, broadcast via codes
+            uniq, code = np.unique(src, return_inverse=True)
+            cuts = np.array([self.cut[s] for s in uniq], dtype=np.int64)
+            return batch.filter(pa.array(b > cuts[code]))
 
     return tier.map_batches(Keep, concurrency=(1, 4), batch_format="pyarrow",
                             zero_copy_batch=True)

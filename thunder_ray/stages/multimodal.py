@@ -123,13 +123,30 @@ def frame_sample_stage(media_ds, every_k: int = 4, concurrency=(1, 2)):
             self.k = every_k
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            payloads = batch["payload"].to_pylist()
-            sampled = [p[:: self.k] for p in payloads]
+            payload = batch["payload"]
+            if isinstance(payload, pa.ChunkedArray):
+                payload = payload.combine_chunks()
+            buf = np.frombuffer(payload.buffers()[2], dtype=np.uint8)
+            offs = np.frombuffer(payload.buffers()[1], dtype=np.int32)[
+                payload.offset: payload.offset + len(payload) + 1].astype(np.int64)
+            lens = np.diff(offs)
+            n_s = (lens + self.k - 1) // self.k        # ceil(len / k)
+            # one strided gather over the whole batch's byte buffer
+            rep = np.repeat(np.arange(len(lens), dtype=np.int64), n_s)
+            intra = (np.arange(int(n_s.sum()), dtype=np.int64)
+                     - np.repeat(np.cumsum(n_s) - n_s, n_s))
+            flat = buf[offs[:-1][rep] + intra * self.k]
+            out_offs = np.zeros(len(lens) + 1, dtype=np.int64)
+            out_offs[1:] = np.cumsum(n_s)
+            sampled = pa.Array.from_buffers(
+                pa.binary(), len(lens),
+                [None, pa.py_buffer(out_offs.astype(np.int32).tobytes()),
+                 pa.py_buffer(flat.tobytes())])
             return pa.table({
                 "media_id": batch["media_id"].combine_chunks()
                 if isinstance(batch["media_id"], pa.ChunkedArray) else batch["media_id"],
-                "sampled": pa.array(sampled, type=pa.binary()),
-                "n_sampled": pa.array([len(s) for s in sampled], type=pa.int64()),
+                "sampled": sampled,
+                "n_sampled": pa.array(n_s, type=pa.int64()),
             })
 
     return media_ds.map_batches(Sampler, concurrency=concurrency,
