@@ -134,13 +134,15 @@ def main_default(num_cpus: int, sf_dir: str, sf_label) -> dict:
                    "query_rows": qrows, "sf": sf_label,
                    "num_cpus": num_cpus}, f, indent=1)
     return {
-        "metric": "rollup points/sec raw->1m->1h->1d + query suite",
+        "metric": "rollup pts/s + query suite",
         "value": total,
         "unit": "sec",
-        "queries": {k: round(v, 2) for k, v in qtimes.items()},
+        # 1-decimal per-query times keep the line comfortably under the
+        # driver's ~2000-char tail capture; full precision in the sidecar
+        "queries": {k: round(v, 1) for k, v in qtimes.items()},
         "sf": sf_label,
         "num_cpus": num_cpus,
-        "headline_pps": headline["points_per_sec"],
+        "headline_pps": round(headline["points_per_sec"]),
     }
 
 
