@@ -41,6 +41,26 @@ def test_finalize_tier_raises_on_risky_group():
         ru.finalize_tier(t)
 
 
+def test_finalize_tier_raises_on_negative_magnitude():
+    """|min| must bound the guard too: from_array admits arbitrary int32, so
+    a group of large-magnitude NEGATIVE values can wrap sumsq while max is
+    tiny (ADVICE r2 medium)."""
+    big = 2**62 // (100 * 100) + 10
+    t = pa.table(
+        {
+            "source": pa.array(["cold"]),
+            "bucket": pa.array([0], type=pa.int64()),
+            "count": pa.array([big], type=pa.int64()),
+            "sum": pa.array([-big * 50], type=pa.int64()),
+            "sumsq": pa.array([0], type=pa.int64()),  # (wrapped value, unused)
+            "min": pa.array([-100], type=pa.int32()),
+            "max": pa.array([1], type=pa.int32()),  # small max: old guard passed
+        }
+    )
+    with pytest.raises(mo.MomentsOverflowError):
+        ru.finalize_tier(t)
+
+
 def test_merge_float_moments_matches_numpy():
     rng = np.random.default_rng(7)
     # 3 segments of partials, each partial summarizing a chunk of raw values

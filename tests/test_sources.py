@@ -101,9 +101,34 @@ def test_tobinary_frombinary_roundtrip(ray_session, tmp_path):
     to_binary(from_array(vals), out)
     conf = json.load(open(f"{out}/conf.json"))
     assert conf == {"nkeys": 1, "keytype": "<i8", "nvalues": 8,
-                    "valuetype": "<i4"}
+                    "valuetype": "<i4", "keyprefix": "mem-", "keywidth": 8}
     rows = from_binary(out).take_all()
     assert len(rows) == 5
+    # key-preserving contract (thunder readers.py keeps keys intact): the
+    # mem- family round-trips verbatim, not rewritten to doc- (ADVICE r2)
+    assert sorted(r["doc_id"] for r in rows) == [f"mem-{i:08d}" for i in range(5)]
     got = {int(r["doc_id"].split("-")[1]): np.asarray(r["tokens"]) for r in rows}
     for i in range(5):
-        assert np.array_equal(got[i], vals[i])   # mem-%08d keys -> ints 0..4
+        assert np.array_equal(got[i], vals[i])
+
+
+def test_tobinary_refuses_cross_block_width_mismatch(ray_session, tmp_path):
+    """Blocks that are each internally uniform but disagree on width must
+    refuse BEFORE conf.json is written (ADVICE r2: a single conf cannot
+    describe both record layouts; frombuffer would misparse)."""
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from thunder_ray.sources.binary import to_binary
+    from thunder_ray.sources.series import _table_from_2d
+
+    a = _table_from_2d(np.arange(12, dtype=np.int32).reshape(3, 4))
+    b = _table_from_2d(np.arange(18, dtype=np.int32).reshape(3, 6))
+    # distinct ids so the two per-block files don't collide
+    b = b.set_column(0, "doc_id",
+                     pa.array([f"mem-{i + 10:08d}" for i in range(3)]))
+    ds = rd.from_arrow([a, b])  # one block each
+    with pytest.raises(ValueError, match="uniform series lengths"):
+        to_binary(ds, str(tmp_path / "bad"))

@@ -53,22 +53,63 @@ def _i64(arr) -> pa.Array:
 # Tier rollups over documents-derived tokens (the flagship; SURVEY.md §2.5-2.6)
 
 # Rolled tiers are the engine's materialized artifacts: several queries
-# (rolling window, retention, as-of, gap-fill) READ a tier rather than
-# re-rolling raw tokens.  Cache the materialized tier per (sf_dir, tier) —
-# object-store blocks, rolled-point scale, exactly what tiers.py persists
-# to parquet in the production pipeline.  (Cache entries assume the Ray
-# session they were built in is still alive — true for the driver, bench
-# and pytest, which each own one session.)
+# (rolling window, retention, as-of, gap-fill, codec round-trips) READ a
+# tier rather than re-rolling raw tokens.  Cache the materialized tier per
+# (sf_dir, source fingerprint, tier) — object-store blocks, rolled-point
+# scale, exactly what tiers.py persists to parquet in the production
+# pipeline.  The fingerprint (mtime_ns + size of the parquet under sf_dir,
+# ADVICE r2) invalidates the entry if the input is regenerated in-process.
+# NOTE for bench readers: per-query times of tier-consuming queries
+# amortize tier construction across the suite (first consumer pays it);
+# bench_detail.json records this.  (Cache entries assume the Ray session
+# they were built in is still alive — true for the driver, bench and
+# pytest, which each own one session.)
 _TIER_CACHE: dict = {}
 
 
-def rollup_documents(sf_dir: str, tier_seconds: int):
-    key = (sf_dir, tier_seconds)
+def _source_fingerprint(sf_dir: str, table: str = "documents") -> tuple:
+    """Cheap identity of the input parquet: (mtime_ns, size) over the file
+    or the files of a directory-shaped parquet output."""
+    import os
+
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    if os.path.isdir(path):
+        acc_m, acc_s = 0, 0
+        for root, _, files in os.walk(path):
+            for fn in files:
+                st = os.stat(os.path.join(root, fn))
+                acc_m = max(acc_m, st.st_mtime_ns)
+                acc_s += st.st_size
+        return (acc_m, acc_s)
+    st = os.stat(path)
+    return (st.st_mtime_ns, st.st_size)
+
+
+def rollup_documents_full(sf_dir: str, tier_seconds: int):
+    """Materialized tier WITH sumsq — the artifact the codec queries
+    (gorilla round-trip, compression accounting) encode, shared with every
+    other tier consumer instead of re-rolling raw tokens per query
+    (VERDICT r2 next #1).
+
+    Coarser tiers chain off the 1m tier (raw -> 1m -> 1h -> 1d, the
+    production retention chain in pipelines/tiers.py): integer moments
+    compose exactly under re-bucketing (``t//3600 == (t//60)//60``) so the
+    rolled points are bit-identical to rolling raw tokens directly, at
+    ~1e4x less input."""
+    key = (sf_dir, _source_fingerprint(sf_dir), tier_seconds)
     if key not in _TIER_CACHE:
-        ds = tokens_from_documents(sf_dir)
-        out = ru.rollup_tokens(ds, tier_seconds, t0_column="doc_id_int")
-        _TIER_CACHE[key] = out.drop_columns(["sumsq"]).materialize()
+        if tier_seconds > 60 and tier_seconds % 60 == 0:
+            out = ru.rerollup(rollup_documents_full(sf_dir, 60),
+                              tier_seconds // 60)
+        else:
+            ds = tokens_from_documents(sf_dir)
+            out = ru.rollup_tokens(ds, tier_seconds, t0_column="doc_id_int")
+        _TIER_CACHE[key] = out.materialize()
     return _TIER_CACHE[key]
+
+
+def rollup_documents(sf_dir: str, tier_seconds: int):
+    return rollup_documents_full(sf_dir, tier_seconds).drop_columns(["sumsq"])
 
 
 def rollup_documents_salted(sf_dir: str, tier_seconds: int, salt: int = 8):
@@ -619,9 +660,14 @@ FROM documents GROUP BY md5(text)
 def dedup_exact_fast_documents(sf_dir: str):
     """Production-path exact dedup (VERDICT r1: the md5 loop in
     dedup_exact_documents exists only for its DuckDB twin): vectorized
-    SipHash over the whole batch, groupby(hash) -> min doc_id, output the
-    KEPT ids only — which the SQL twin reproduces by grouping on the text
-    itself, so the hash function never needs to match."""
+    SipHash over the whole batch, then group by (hash, text) -> min doc_id.
+
+    Grouping on the PAIR keeps the op exact under hash collisions (ADVICE
+    r2: a 64-bit collision between distinct texts must not merge groups at
+    10^12-doc scale): semantically it is GROUP BY text — which is what the
+    SQL twin runs — while the int64 hash prefix keeps the sort/shuffle
+    comparisons cheap (equal hashes are the only rows that ever compare
+    full strings)."""
     import pandas as pd
 
     from ray.data.aggregate import Min
@@ -633,11 +679,13 @@ def dedup_exact_fast_documents(sf_dir: str):
             batch["text"].to_numpy(zero_copy_only=False), categorize=False)
         return pa.table({
             "text_hash": _i64(hashes.view(np.int64)),
+            "text": batch["text"].combine_chunks()
+            if isinstance(batch["text"], pa.ChunkedArray) else batch["text"],
             "doc_id": _i64(batch["doc_id"].to_numpy(zero_copy_only=False)),
         })
 
     return ds.map_batches(h, batch_format="pyarrow", zero_copy_batch=True
-                          ).groupby("text_hash").aggregate(
+                          ).groupby(["text_hash", "text"]).aggregate(
         Min("doc_id", alias_name="doc_id")).select_columns(["doc_id"])
 
 

@@ -104,12 +104,12 @@ FROM flat a JOIN flat b ON b.doc_id = a.doc_id + 1 AND b.pos = a.pos
 # the oracle is therefore the plain rollup SQL (bit-exact identity).
 
 def gorilla_roundtrip_1m(sf_dir: str):
-    from ..sources.tokens import tokens_from_documents
-    from ..stages import rollup as ru
     from ..stages.codec import decode_tier, encode_tier
+    from .queries import rollup_documents_full
 
-    full = ru.rollup_tokens(tokens_from_documents(sf_dir), 60,
-                            t0_column="doc_id_int")
+    # the SAME materialized 1m tier every other tier consumer shares —
+    # encode/decode is the work under test, not re-rolling raw tokens
+    full = rollup_documents_full(sf_dir, 60)
     blobs = encode_tier(full)
     decoded = decode_tier(blobs)
     return decoded.drop_columns(["sumsq"])
@@ -119,13 +119,10 @@ def compression_ratio_1m(sf_dir: str):
     """Per-source Gorilla blob bytes vs raw row bytes on the 1m tier —
     the storage-efficiency accounting pipeline (rows-only check: sizes are
     implementation detail, pinned by tests/test_gorilla.py instead)."""
-    from ..sources.tokens import tokens_from_documents
-    from ..stages import rollup as ru
     from ..stages.codec import INT_COLS, encode_tier
+    from .queries import rollup_documents_full
 
-    full = ru.rollup_tokens(tokens_from_documents(sf_dir), 60,
-                            t0_column="doc_id_int")
-    blobs = encode_tier(full)
+    blobs = encode_tier(rollup_documents_full(sf_dir, 60))
 
     def sizes(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc

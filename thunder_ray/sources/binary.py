@@ -10,9 +10,14 @@ the record layout — the reader needs no other metadata::
     {"nkeys": 1, "keytype": "<i8", "nvalues": D, "valuetype": "<i4"}
 
 Keys: thunder keys are int tuples; the engine's ``doc_id`` strings are
-reduced to their digits (``doc-00000042`` -> 42), which round-trips the
-canonical id families (``doc-``/``mem-``/``line-``).  Uniform value
-lengths are required, as in thunder.
+reduced to their digits (``doc-00000042`` -> 42) and the id FAMILY
+(prefix + digit width, e.g. ``doc-``/8) is recorded in conf.json as
+``keyprefix``/``keywidth`` so ``from_binary`` reconstructs the original
+ids — mirroring thunder's key-preserving frombinary contract
+(thunder/series/readers.py:~170).  Uniform value lengths are required,
+as in thunder, and enforced across ALL blocks before conf.json is
+written (a per-block-uniform dataset with differing widths would
+otherwise frombuffer-misparse on read).
 
 Writes are per-block tasks (parallel, one file per block named by the
 block's first key — deterministic and idempotent under task retries);
@@ -28,14 +33,20 @@ import numpy as np
 import pyarrow as pa
 
 
-def _keys_from_doc_ids(col) -> np.ndarray:
+def _keys_from_doc_ids(col) -> tuple[np.ndarray, str, int]:
+    """(int keys, id prefix, digit width) — the prefix/width pair is the
+    key-format template recorded in conf.json."""
     import pyarrow.compute as pc
 
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     digits = pc.replace_substring_regex(col, r"\D+", "")
-    return np.asarray(digits.cast(pa.int64()).to_numpy(zero_copy_only=False),
+    first = col[0].as_py() if len(col) else ""
+    first_digits = digits[0].as_py() if len(col) else ""
+    prefix = first[: len(first) - len(first_digits)]
+    keys = np.asarray(digits.cast(pa.int64()).to_numpy(zero_copy_only=False),
                       dtype=np.int64)
+    return keys, prefix, len(first_digits)
 
 
 def to_binary(ds, path: str, value_column: str = "tokens",
@@ -52,11 +63,13 @@ def to_binary(ds, path: str, value_column: str = "tokens",
         if len(lens) == 0:
             return pa.table({"file": pa.array([], type=pa.string()),
                              "rows": pa.array([], type=pa.int64()),
-                             "nvalues": pa.array([], type=pa.int64())})
+                             "nvalues": pa.array([], type=pa.int64()),
+                             "keyprefix": pa.array([], type=pa.string()),
+                             "keywidth": pa.array([], type=pa.int64())})
         d = int(lens[0])
         if (lens != d).any():
             raise ValueError("tobinary requires uniform series lengths")
-        keys = _keys_from_doc_ids(batch["doc_id"])
+        keys, prefix, width = _keys_from_doc_ids(batch["doc_id"])
         base = lk._base_values(vals, offs).reshape(len(keys), d).astype(vt)
         # interleave key + values per record, C-order
         rec = np.dtype([("k", "<i8"), ("v", vt, (d,))])
@@ -70,12 +83,30 @@ def to_binary(ds, path: str, value_column: str = "tokens",
         os.replace(tmp, fname)   # atomic, idempotent under retries
         return pa.table({"file": pa.array([fname]),
                          "rows": pa.array([len(keys)], type=pa.int64()),
-                         "nvalues": pa.array([d], type=pa.int64())})
+                         "nvalues": pa.array([d], type=pa.int64()),
+                         "keyprefix": pa.array([prefix], type=pa.string()),
+                         "keywidth": pa.array([width], type=pa.int64())})
 
     manifest = ds.map_batches(write_block, batch_format="pyarrow",
                               zero_copy_batch=True).take_all()
+    # Per-block uniformity is necessary but not sufficient: ONE conf.json
+    # describes every file, so all blocks must agree on the record layout
+    # (and on the key family, or reads could not reconstruct the ids).
+    widths = {int(m["nvalues"]) for m in manifest}
+    if len(widths) > 1:
+        raise ValueError(
+            f"tobinary requires uniform series lengths across the whole "
+            f"dataset; blocks wrote nvalues={sorted(widths)}")
+    keyfmts = {(m["keyprefix"], int(m["keywidth"])) for m in manifest}
+    if len(keyfmts) > 1:
+        raise ValueError(
+            f"tobinary requires one doc_id family; blocks saw "
+            f"prefix/width={sorted(keyfmts)}")
     d = int(manifest[0]["nvalues"]) if manifest else 0
-    conf = {"nkeys": 1, "keytype": "<i8", "nvalues": d, "valuetype": valuetype}
+    prefix, width = (manifest[0]["keyprefix"], int(manifest[0]["keywidth"])) \
+        if manifest else ("doc-", 8)
+    conf = {"nkeys": 1, "keytype": "<i8", "nvalues": d, "valuetype": valuetype,
+            "keyprefix": prefix, "keywidth": width}
     with open(os.path.join(path, "conf.json"), "w") as f:
         json.dump(conf, f)
     return path
@@ -90,6 +121,8 @@ def from_binary(path: str, source: str = "bin"):
     d = int(conf["nvalues"])
     vt = np.dtype(conf["valuetype"])
     rec = np.dtype([("k", conf["keytype"]), ("v", vt, (d,))])
+    prefix = conf.get("keyprefix", "doc-")
+    width = int(conf.get("keywidth", 8))
 
     files = sorted(
         os.path.join(path, p) for p in os.listdir(path) if p.endswith(".bin"))
@@ -102,8 +135,10 @@ def from_binary(path: str, source: str = "bin"):
             n = len(arr)
             vals32 = arr["v"].astype(np.int32).reshape(-1)
             tables.append(pa.table({
-                "doc_id": pa.array([f"doc-{int(k):08d}" for k in arr["k"]],
-                                   type=pa.string()),
+                "doc_id": pa.array(
+                    np.char.add(prefix, np.char.zfill(
+                        arr["k"].astype(np.int64).astype("U"), width)),
+                    type=pa.string()),
                 "tokens": pa.ListArray.from_arrays(
                     pa.array(np.arange(0, (n + 1) * d, d, dtype=np.int32)),
                     pa.array(vals32)),

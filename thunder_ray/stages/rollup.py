@@ -304,8 +304,9 @@ def finalize_tier(batch: pa.Table) -> pa.Table:
     """Attach the fixed-expression derived columns mean/m2 (schema.derive_mean_m2)
     and normalize physical types to TIER_SCHEMA.
 
-    Guards the exact int64-sumsq path: terms are non-negative, so the final
-    (count, max) of a group bounds its sumsq AND every intermediate partial;
+    Guards the exact int64-sumsq path: sumsq terms are squares, so the final
+    (count, max(|min|,|max|)) of a group bounds its sumsq AND every
+    intermediate partial;
     a group past the bound raises MomentsOverflowError instead of silently
     emitting wrapped moments (functions/moments.py — rerun with the float
     Chan-merge path there)."""
@@ -314,7 +315,11 @@ def finalize_tier(batch: pa.Table) -> pa.Table:
     cnt = batch["count"].to_numpy(zero_copy_only=False).astype(np.int64)
     s = batch["sum"].to_numpy(zero_copy_only=False).astype(np.int64)
     q = batch["sumsq"].to_numpy(zero_copy_only=False).astype(np.int64)
-    assert_exact_moments_safe(cnt, batch["max"].to_numpy(zero_copy_only=False))
+    # Bound sumsq by the LARGER magnitude of min/max: from_array admits
+    # arbitrary int32, so |min| can dominate while max stays small.
+    mn_abs = np.abs(batch["min"].to_numpy(zero_copy_only=False).astype(np.int64))
+    mx_abs = np.abs(batch["max"].to_numpy(zero_copy_only=False).astype(np.int64))
+    assert_exact_moments_safe(cnt, np.maximum(mn_abs, mx_abs))
     mean, m2 = derive_mean_m2(cnt, s, q)
     src = batch["source"]
     if isinstance(src, pa.ChunkedArray):
