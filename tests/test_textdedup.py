@@ -183,6 +183,86 @@ def test_pair_combine_strategies_agree(ray_session):
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
 
 
+def test_pair_tree_guard_refuses_runaway_pairs(ray_session, monkeypatch):
+    """An oversized pair set must raise PairTreeOverflowError in the tree's
+    fan-in shards, not silently funnel into the final repartition(1) task
+    (VERDICT r2 next #3, mirroring rollup's TreeMergeOverflowError)."""
+    import ray.data as rd
+
+    monkeypatch.setattr(dd, "TREE_MAX_PAIRS", 0)
+    t = pa.table({
+        "doc_lo": pa.array([1, 1, 2, 3, 4], type=pa.int64()),
+        "doc_hi": pa.array([2, 3, 3, 4, 5], type=pa.int64()),
+        "n_lo": pa.array([5] * 5, type=pa.int64()),
+        "n_hi": pa.array([5] * 5, type=pa.int64()),
+    })
+    merged = dd._combine_pair_counts(rd.from_arrow(t), strategy="tree")
+    with pytest.raises(Exception) as ei:
+        merged.materialize()
+    assert "PairTreeOverflowError" in str(ei.value) or isinstance(
+        ei.value, dd.PairTreeOverflowError)
+    # the self-join dedupe path carries the same guard
+    bands = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "band": pa.array([0, 0, 0], type=pa.int64()),
+        "bucket": pa.array([7, 7, 7], type=pa.int64()),
+    }))
+    pairs = dd._pairs_via_self_join(bands, ("band", "bucket"), strategy="tree")
+    with pytest.raises(Exception) as ei2:
+        pairs.materialize()
+    assert "PairTreeOverflowError" in str(ei2.value) or isinstance(
+        ei2.value, dd.PairTreeOverflowError)
+
+
+def test_ngram_cap_bounds_boilerplate_keeps_recall(ray_session, tmp_path):
+    """Planted boilerplate: 30 docs share a hot 12-word prefix (df=30 per
+    boilerplate gram) plus unique tails; docs 100/101 are true near-dups on
+    RARE grams.  The capped path must (a) generate far fewer candidate
+    pairs than the uncapped gram self-join and (b) still report the true
+    near-dup pair with its exact jaccard (VERDICT r2 next #4)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    boiler = "the quick brown fox jumps over the lazy dog again and again"
+    rows = []
+    for i in range(30):
+        tail = " ".join(f"u{i}w{j}" for j in range(16))
+        rows.append((i, f"{boiler} {tail}"))
+    near = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    rows.append((100, near))
+    rows.append((101, near.replace("mu", "nu")))
+    t = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "text": pa.array([r[1] for r in rows], type=pa.string()),
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    sf = str(tmp_path)
+
+    cap = 5
+    # candidate volume: uncapped self-join sees the 30-doc boilerplate
+    # clique (>= C(30,2) pairs); rare-gram candidates exclude it entirely
+    uncapped_cand = dd._pairs_via_self_join(
+        dd._shingle_rows(sf), ("gram",)).count()
+    capped_cand = dd._pairs_via_self_join(
+        dd._rare_shingle_rows(sf, cap), ("gram",)).count()
+    assert uncapped_cand >= 435
+    assert capped_cand < 20
+
+    got = {(int(r["doc_lo"]), int(r["doc_hi"])): r["jaccard"]
+           for r in dd.ngram_jaccard_capped_documents(sf, cap).take_all()}
+    full = {(int(r["doc_lo"]), int(r["doc_hi"])): r["jaccard"]
+            for r in dd.ngram_jaccard_pairs_documents(sf).take_all()}
+    assert (100, 101) in got
+    assert got[(100, 101)] == full[(100, 101)]   # exact score, same pair
+
+
+def test_pair_strategy_auto_picks_by_cardinality():
+    assert dd._pick_pair_strategy("auto", None) == "tree"
+    assert dd._pick_pair_strategy("auto", dd.TREE_MAX_PAIRS) == "tree"
+    assert dd._pick_pair_strategy("auto", dd.TREE_MAX_PAIRS + 1) == "groupby"
+    assert dd._pick_pair_strategy("groupby", 1) == "groupby"
+
+
 def test_embedding_lsh_recall_and_precision(ray_session):
     """The LSH scale path must (a) emit only pairs the exact operator emits
     (verification is exact) and (b) recall a reasonable fraction."""

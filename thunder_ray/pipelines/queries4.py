@@ -400,21 +400,19 @@ def images_toseries_stats(sf_dir: str):
 
     series = im.toseries(_frames_from_embeddings(sf_dir), chunks=8)
 
-    def stats(batch) -> pa.Table:
-        import pandas as pd
+    def stats(batch: pa.Table) -> pa.Table:
+        from ..stages import listkernels as lk
 
-        pix = batch["pixel_id"].to_numpy()
-        out = {"pixel_id": [], "count": [], "sum": [], "min": [], "max": []}
-        for p, s in zip(pix, batch["series"]):
-            a = np.asarray(s).astype(np.int64)
-            out["pixel_id"].append(int(p))
-            out["count"].append(len(a))
-            out["sum"].append(int(a.sum()))
-            out["min"].append(int(a.min()))
-            out["max"].append(int(a.max()))
-        return pa.table({k: _i64(v) for k, v in out.items()})
+        vals, offs = lk.list_parts(batch["series"])
+        return pa.table({
+            "pixel_id": _i64(batch["pixel_id"].to_numpy(zero_copy_only=False)),
+            "count": _i64(lk.lengths(offs)),
+            "sum": _i64(lk.seg_sum(vals, offs)),
+            "min": _i64(lk.seg_min(vals, offs)),
+            "max": _i64(lk.seg_max(vals, offs)),
+        })
 
-    return series.map_batches(stats, batch_format="pyarrow")
+    return series.map_batches(stats, batch_format="pyarrow", zero_copy_batch=True)
 
 
 IMAGES_TOSERIES_SQL = """
@@ -443,19 +441,19 @@ def images_roundtrip_embeddings(sf_dir: str):
     series = im.toseries(_frames_from_embeddings(sf_dir), chunks=8)
     frames = im.toimages(series, height=8, width=8, time_chunks=8)
 
-    def flat(df: pd.DataFrame) -> pa.Table:
-        # pandas format: the reassembled image column is Ray's tensor
-        # extension, which round-trips to ndarray rows here
-        fid = df["frame_id"].to_numpy().astype(np.int64)
-        mat = np.stack([np.asarray(v) for v in df["image"]])
-        npix = mat.shape[1] if len(fid) else 0
+    def flat(batch: pa.Table) -> pa.Table:
+        from ..stages import listkernels as lk
+
+        fid = batch["frame_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        vals, offs = lk.list_parts(batch["image"])
+        base, rel = lk._flat(vals, offs)
         return pa.table({
-            "frame_id": _i64(np.repeat(fid, npix)),
-            "pos": _i64(np.tile(np.arange(npix, dtype=np.int64), len(fid))),
-            "value": _i64(mat.reshape(-1)),
+            "frame_id": _i64(np.repeat(fid, np.diff(rel))),
+            "pos": _i64(lk.positions(offs)),
+            "value": _i64(base),
         })
 
-    return frames.map_batches(flat, batch_format="pandas")
+    return frames.map_batches(flat, batch_format="pyarrow", zero_copy_batch=True)
 
 
 IMAGES_ROUNDTRIP_SQL = """

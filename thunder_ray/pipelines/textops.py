@@ -23,6 +23,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..util import derive_parallelism, fanin_partitions
+
 STOPWORDS = ["the", "a", "of", "and", "to", "in"]
 LANG_SCALE = 1_000_000
 
@@ -164,7 +166,7 @@ def _lang_profile_ds(sf_dir: str):
     level1 = ds.map_batches(wc, batch_format="pyarrow", zero_copy_batch=True
                             ).map_batches(combine, batch_format="pyarrow",
                                           zero_copy_batch=True, batch_size=None)
-    merged = level1.repartition(8).map_batches(
+    merged = level1.repartition(fanin_partitions()).map_batches(
         combine, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     ).repartition(1).map_batches(
         combine, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
@@ -220,7 +222,7 @@ def _combine_doc_lang_sums(scored):
 
     level1 = scored.map_batches(combine, batch_format="pyarrow",
                                 zero_copy_batch=True, batch_size=None)
-    level2 = level1.repartition(8).map_batches(
+    level2 = level1.repartition(fanin_partitions()).map_batches(
         combine, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
     merged = level2.repartition(1).map_batches(
         combine, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
@@ -254,7 +256,7 @@ def language_id_documents(sf_dir: str):
 
     flat = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
         flat_words, batch_format="pyarrow", zero_copy_batch=True)
-    scored = flat.join(prof, "inner", 8, on=("word",)).select_columns(
+    scored = flat.join(prof, "inner", derive_parallelism(), on=("word",)).select_columns(
         ["doc_id", "lang", "wt"])
     return _combine_doc_lang_sums(scored)
 

@@ -32,6 +32,7 @@ import numpy as np
 import pyarrow as pa
 
 from ..schema import derive_mean_m2, t0_for_doc_ids
+from ..util import fanin_partitions
 from . import listkernels as lk
 
 # Partial/tier column order (TIER_SCHEMA + derived).
@@ -262,7 +263,7 @@ def merge_partials(ds, salted: bool = False, strategy: str = "auto",
         )
         # level 2: fan-in to `fanin` parallel combines (each bounded by the
         # group cardinality, guarded), then one tiny final combine
-        level2 = combined.repartition(8).map_batches(
+        level2 = combined.repartition(fanin_partitions()).map_batches(
             _GuardedRerollup(1, TREE_MAX_GROUPS), batch_format="pyarrow",
             zero_copy_batch=True, batch_size=None,
         )
