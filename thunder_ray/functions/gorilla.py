@@ -146,8 +146,9 @@ def encode_dod(values: np.ndarray) -> bytes:
     return pack_bits(flat_codes[keep], flat_bits[keep])
 
 
-def decode_dod(data: bytes, n: int) -> np.ndarray:
-    """Decode ``n`` int64 values."""
+def _decode_dod_scalar(data: bytes, n: int) -> np.ndarray:
+    """Reference decoder (big-int bit reader) — oracle for the vectorized
+    path and the micro-bench baseline; O(bits^2), never the hot path."""
     out = np.empty(n, dtype=np.int64)
     if n == 0:
         return out
@@ -174,8 +175,81 @@ def decode_dod(data: bytes, n: int) -> np.ndarray:
             r.read(1)  # consume the 5th prefix bit ('11110')
             raw = r.read(64)
             dod = raw - (1 << 64) if raw >= (1 << 63) else raw
-        delta += dod
-        out[i] = out[i - 1] + delta
+        # wrap mod 2^64 like the encoder's int64 arithmetic does
+        delta = s64((delta + dod) & _M64)
+        out[i] = s64((int(out[i - 1]) + delta) & _M64)
+    return out
+
+
+def _bit_windows(bits: np.ndarray, starts: np.ndarray, width: int) -> np.ndarray:
+    """uint64 values of fixed-``width`` bit windows at ``starts`` (MSB
+    first) — one (m, width) gather + weighted sum, no per-token Python."""
+    if len(starts) == 0:
+        return np.empty(0, dtype=np.uint64)
+    idx = starts[:, None] + np.arange(width, dtype=np.int64)[None, :]
+    w = (np.uint64(1) << np.arange(width - 1, -1, -1, dtype=np.uint64))
+    return (bits[idx].astype(np.uint64) * w[None, :]).sum(axis=1, dtype=np.uint64)
+
+
+def _chase(jump: np.ndarray, start: int, count: int) -> np.ndarray:
+    """Token start positions: p_{k+1} = p_k + jump[p_k] — the only
+    inherently sequential step of a self-delimiting prefix code (one array
+    index + add per token; everything else is whole-array numpy)."""
+    starts = np.empty(count, dtype=np.int64)
+    j = jump.tolist()   # list indexing is ~3x ndarray scalar indexing
+    p = start
+    for k in range(count):
+        starts[k] = p
+        p += j[p]
+    return starts
+
+
+def decode_dod(data: bytes, n: int) -> np.ndarray:
+    """Decode ``n`` int64 values — vectorized (module doc): unpack bits
+    once, classify every position, chase token boundaries, gather payloads
+    per class, then two wrapping cumsums reconstruct the values (int64
+    two's-complement arithmetic is associative mod 2^64, so wrap-through
+    is exact)."""
+    out = np.empty(n, dtype=np.int64)
+    if n == 0:
+        return out
+    bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
+    v0 = int(_bit_windows(bits, np.array([0], dtype=np.int64), 64)[0])
+    out[0] = v0 - (1 << 64) if v0 >= (1 << 63) else v0
+    if n == 1:
+        return out
+    d0 = np.int64(_bit_windows(bits, np.array([64], dtype=np.int64), 64).view(np.int64)[0])
+    if n == 2:
+        out[1] = out[0] + d0
+        return out
+
+    m = n - 2
+    # class of a token STARTING at p, for every p (wasted work off token
+    # boundaries is free parallelism; max token length 69 bits -> pad)
+    b = np.pad(bits, (0, 70)).astype(np.int64)
+    k = len(b) - 4
+    is0 = b[:k] == 0
+    is1 = ~is0 & (b[1: k + 1] == 0)
+    is2 = ~is0 & ~is1 & (b[2: k + 2] == 0)
+    is3 = ~is0 & ~is1 & ~is2 & (b[3: k + 3] == 0)
+    length = np.where(is0, 1, np.where(is1, 9, np.where(
+        is2, 12, np.where(is3, 16, 69)))).astype(np.int64)
+    starts = _chase(length, 128, m)
+
+    cls = np.where(is0[starts], 0, np.where(is1[starts], 1, np.where(
+        is2[starts], 2, np.where(is3[starts], 3, 4))))
+    dod = np.zeros(m, dtype=np.int64)
+    for c, skip, width, bias in ((1, 2, 7, 63), (2, 3, 9, 255), (3, 4, 12, 2047)):
+        sel = np.flatnonzero(cls == c)
+        dod[sel] = _bit_windows(bits, starts[sel] + skip, width).astype(np.int64) - bias
+    sel4 = np.flatnonzero(cls == 4)
+    dod[sel4] = _bit_windows(bits, starts[sel4] + 5, 64).view(np.int64)
+
+    # delta_1 = d0, delta_{i>=2} = d0 + cumsum(dod); out[i] = v0 + cumsum(delta)
+    with np.errstate(over="ignore"):
+        deltas = d0 + np.cumsum(dod, dtype=np.int64)
+        all_deltas = np.concatenate(([d0], deltas))
+        out[1:] = out[0] + np.cumsum(all_deltas, dtype=np.int64)
     return out
 
 
@@ -223,7 +297,8 @@ def encode_xor(values: np.ndarray) -> bytes:
     return pack_bits(flat_codes[keep], flat_bits[keep])
 
 
-def decode_xor(data: bytes, n: int) -> np.ndarray:
+def _decode_xor_scalar(data: bytes, n: int) -> np.ndarray:
+    """Reference decoder (big-int bit reader) — oracle + bench baseline."""
     out = np.empty(n, dtype=np.uint64)
     if n == 0:
         return out.view(np.float64)
@@ -242,4 +317,48 @@ def decode_xor(data: bytes, n: int) -> np.ndarray:
         trail = 64 - lead - mb
         prev = prev ^ (payload << trail)
         out[i] = prev
+    return out.view(np.float64)
+
+
+def decode_xor(data: bytes, n: int) -> np.ndarray:
+    """Vectorized XOR decode: token length at every position from a
+    shift-add 6-bit window scan, boundary chase, one masked variable-width
+    payload gather, then ``np.bitwise_xor.accumulate`` reconstructs the
+    stream (XOR is associative — the cumulative form replaces the
+    sequential prev-chain)."""
+    out = np.empty(n, dtype=np.uint64)
+    if n == 0:
+        return out.view(np.float64)
+    bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
+    first = _bit_windows(bits, np.array([0], dtype=np.int64), 64)[0]
+    out[0] = first
+    if n == 1:
+        return out.view(np.float64)
+
+    m = n - 1
+    bp = np.pad(bits, (0, 80))
+    b = bp.astype(np.int64)
+    k = len(bits) + 1
+    # 6-bit meaningful-count window starting at p+6, for every p
+    mb_all = np.zeros(k, dtype=np.int64)
+    for i in range(6):
+        mb_all += b[6 + i: 6 + i + k] << (5 - i)
+    mb_all = np.where(mb_all == 0, 64, mb_all)   # mb==0 encodes 64
+    length = np.where(b[:k] == 0, 1, 12 + mb_all)
+    starts = _chase(length, 64, m)
+
+    nz = np.flatnonzero(bits[starts] == 1)
+    lead = _bit_windows(bits, starts[nz] + 1, 5).astype(np.int64)
+    mb = mb_all[starts[nz]]
+    # masked variable-width payload gather: columns j < mb contribute
+    # bit << (mb - 1 - j); the rest contribute 0
+    idx = (starts[nz] + 12)[:, None] + np.arange(64, dtype=np.int64)[None, :]
+    valid = np.arange(64, dtype=np.int64)[None, :] < mb[:, None]
+    shift = np.where(valid, mb[:, None] - 1 - np.arange(64, dtype=np.int64)[None, :], 0)
+    payload = ((bp[idx].astype(np.uint64) * valid.astype(np.uint64))
+               << shift.astype(np.uint64)).sum(axis=1, dtype=np.uint64)
+    trail = (64 - lead - mb).astype(np.uint64)
+    xors = np.zeros(m, dtype=np.uint64)
+    xors[nz] = payload << trail
+    out[1:] = first ^ np.bitwise_xor.accumulate(xors)
     return out.view(np.float64)
