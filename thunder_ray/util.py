@@ -50,6 +50,30 @@ def sized_parallelism(rows: int, per_partition: int = 65_536) -> int:
                       -(-int(rows) // int(per_partition))))
 
 
+class TreeShardOverflowError(RuntimeError):
+    """Raised when a combiner-tree fan-in shard exceeds its row bound —
+    rerun the pipeline with ``strategy="groupby"`` (keyed shuffle)."""
+
+
+class GuardedShard:
+    """Wrap a combine callable with a runtime cardinality guard: a level-2
+    shard bounding ~1/fanin of the output refuses loudly before the single
+    final task can OOM (the rollup._GuardedRerollup pattern, reusable)."""
+
+    def __init__(self, fn, max_rows: int, what: str = "combiner-tree shard"):
+        self.fn = fn
+        self.max_rows = int(max_rows)
+        self.what = what
+
+    def __call__(self, batch):
+        out = self.fn(batch)
+        if len(out) > self.max_rows:
+            raise TreeShardOverflowError(
+                f"{self.what} holds {len(out)} rows (> {self.max_rows}); "
+                f"rerun with strategy='groupby'")
+        return out
+
+
 def fanin_partitions(lo: int = 8, hi: int = 256) -> int:
     """Level-2 width of a combiner tree (block combine -> fan-in -> final):
     one combine task per CPU is the sweet spot — wider adds scheduling
