@@ -148,3 +148,88 @@ def test_sliced_batch():
     assert list(lk.seg_min(vals, offs)) == [3, 6]
     got_v, _ = lk.seg_downsample(vals, offs, 2)
     np.testing.assert_allclose(got_v, [3.5])
+
+
+# ---------------------------------------------------------------------------
+# TRUE 2-level index + labels lockstep (thunder series.py:~40/~820/~880,
+# base.py:~230/~340; VERDICT r2 next #9)
+
+def _two_level_fixture():
+    """4 records of length 12; index2d = (levels x length): level 0 = coarse
+    panel (pos // 4), level 1 = phase (pos % 4) — the FIXTURES.md shape."""
+    rng = np.random.default_rng(42)
+    vals = rng.integers(0, 100, size=(4, 12)).astype(np.int32)
+    index2d = np.stack([np.arange(12) // 4, np.arange(12) % 4])
+    flat = vals.reshape(-1)
+    offs = np.arange(0, 13 * 4, 12, dtype=np.int64)
+    return vals, index2d, flat, offs
+
+
+def test_select_by_index_level1():
+    vals, index2d, flat, offs = _two_level_fixture()
+    got_v, got_off = lk.seg_select_by_level(flat, offs, index2d, 1, [0, 2])
+    want = vals[:, np.isin(index2d[1], [0, 2])]
+    assert np.array_equal(got_v.reshape(4, -1), want)
+    # filter=True inverts (thunder select_by_index(filter=True))
+    inv_v, inv_off = lk.seg_select_by_level(flat, offs, index2d, 1, [0, 2],
+                                            invert=True)
+    assert np.array_equal(inv_v.reshape(4, -1),
+                          vals[:, ~np.isin(index2d[1], [0, 2])])
+
+
+def test_select_by_index_level0():
+    vals, index2d, flat, offs = _two_level_fixture()
+    got_v, got_off = lk.seg_select_by_level(flat, offs, index2d, 0, 1)
+    assert np.array_equal(got_v.reshape(4, -1), vals[:, 4:8])
+
+
+def test_aggregate_by_index_level0():
+    vals, index2d, flat, offs = _two_level_fixture()
+    r, k, s = lk.seg_aggregate_by_level(flat, offs, index2d, 0, "sum")
+    # 3 distinct level-0 values per record
+    assert np.array_equal(r, np.repeat(np.arange(4), 3))
+    assert np.array_equal(k, np.tile(np.arange(3), 4))
+    want = vals.reshape(4, 3, 4).sum(axis=2).reshape(-1)
+    assert np.array_equal(s, want)
+
+
+def test_aggregate_by_index_level1_mean():
+    vals, index2d, flat, offs = _two_level_fixture()
+    r, k, m = lk.seg_aggregate_by_level(flat, offs, index2d, 1, "mean")
+    want = vals.reshape(4, 3, 4).mean(axis=1).reshape(-1)
+    np.testing.assert_allclose(m, want)
+
+
+def test_filter_keeps_labels_in_lockstep(ray_session):
+    """thunder base.filter filters `labels` alongside values; the engine's
+    labels are extra scalar columns and must survive aligned."""
+    import pyarrow as pa
+
+    from thunder_ray.sources.series import filter_records, from_array
+
+    vals = np.arange(40, dtype=np.int32).reshape(5, 8)
+    base = from_array(vals)
+
+    def add_labels(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        ids = [int(d.split("-")[1]) for d in batch["doc_id"].to_pylist()]
+        return batch.append_column(
+            "label", pa.array([f"L{i}" for i in ids], type=pa.string()))
+
+    labeled = base.map_batches(add_labels, batch_format="pyarrow")
+    kept = filter_records(labeled, lambda v: v.mean() >= 12).take_all()
+    # records 0 (mean 3.5) and 1 (mean 11.5) drop; labels follow their rows
+    got = sorted((r["doc_id"], r["label"], int(np.asarray(r["tokens"]).sum()))
+                 for r in kept)
+    assert [g[0] for g in got] == [f"mem-{i:08d}" for i in (2, 3, 4)]
+    assert [g[1] for g in got] == ["L2", "L3", "L4"]
+    assert [g[2] for g in got] == [int(vals[i].sum()) for i in (2, 3, 4)]
+
+    # vectorized predicate path agrees
+    from thunder_ray.stages import listkernels as lkm
+
+    def vec(vals_, offs_):
+        return lkm.seg_sum(vals_, offs_) >= 12 * 8
+
+    kept2 = filter_records(labeled, vec, vectorized=True).take_all()
+    assert sorted(r["label"] for r in kept2) == ["L2", "L3", "L4"]

@@ -136,6 +136,34 @@ def flatten(ds, key_columns=("source", "doc_id"), sep: str = "/"):
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def filter_records(ds, predicate, value_column: str = "tokens",
+                   vectorized: bool = False):
+    """thunder ``Data.filter(func)`` (base.py:~340): keep records where
+    ``predicate(values)`` is truthy — and filter every OTHER column,
+    ``labels`` included, in LOCKSTEP (thunder filters the labels array
+    alongside the values; here labels are extra scalar columns on the row,
+    SURVEY §1.1, and the whole-table Arrow filter keeps them aligned).
+
+    ``predicate`` receives one record's 1-D ndarray (thunder's UDF
+    contract); pass ``vectorized=True`` for a kernel
+    ``(values, offsets) -> bool mask per record`` — the scale path.
+    """
+    from ..stages import listkernels as lk
+
+    def f(batch: pa.Table) -> pa.Table:
+        vals, offs = lk.list_parts(batch[value_column])
+        if vectorized:
+            keep = np.asarray(predicate(vals, offs), dtype=bool)
+        else:
+            base, rel = lk._flat(vals, offs)
+            keep = np.fromiter(
+                (bool(predicate(base[rel[i]: rel[i + 1]]))
+                 for i in range(len(batch))), dtype=bool, count=len(batch))
+        return batch.filter(pa.array(keep))
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def to_text(ds, path: str, value_column: str = "tokens"):
     """thunder ``Series.totext`` (series/writers.py:~80): one line per
     record, whitespace-separated values — engine wrapper emitting a single

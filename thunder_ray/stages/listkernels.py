@@ -266,6 +266,40 @@ def seg_select(values, offsets, idx, index: np.ndarray | None = None):
     return base[mask], new_off
 
 
+def seg_select_by_level(values, offsets, index2d: np.ndarray, level: int,
+                        vals, invert: bool = False):
+    """thunder ``select_by_index(val, level=..., filter=...)`` on a TRUE
+    multi-level index (thunder/series/series.py:~820; index is a 2-D
+    (levels x length) ndarray shared by all records, series.py:~40):
+    keep value positions whose index at ``level`` matches ``vals`` (list =
+    OR); ``invert=True`` is thunder's ``filter=True``.  Returns
+    ``(values, offsets)`` of the projected records."""
+    key = np.asarray(index2d)[level]
+    pos = positions(offsets)
+    mask = np.isin(key[pos], np.atleast_1d(vals))
+    if invert:
+        mask = ~mask
+    lens = lengths(offsets)
+    base = _base_values(values, offsets)
+    rid = row_ids(offsets)
+    new_lens = np.bincount(rid[mask], minlength=len(lens))
+    new_off = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(new_lens, out=new_off[1:])
+    return base[mask], new_off
+
+
+def seg_aggregate_by_level(values, offsets, index2d: np.ndarray, level: int,
+                           stat: str):
+    """thunder ``aggregate_by_index(function, level=...)`` /
+    ``stat_by_index(stat, level=...)`` on a 2-D index (series.py:~880):
+    group positions within each record by the index value at ``level``
+    and reduce.  Returns ``(row_idx, level_value, stat)`` flat arrays."""
+    key = np.asarray(index2d)[level]
+    pos = positions(offsets)
+    base, rel = _flat(values, offsets)   # slice-safe (base starts at offsets[0])
+    return seg_stat_by_key(base, rel, key[pos], stat)
+
+
 def seg_between(values, offsets, left, right, index: np.ndarray | None = None):
     """Positions with ``left <= index <= right`` (thunder ``between``, series.py:~230;
     thunder implements it via a boolean range crop on the index — bounds inclusive)."""
