@@ -174,3 +174,48 @@ def test_localcorr_matches_naive(frames):
     for r in rows:
         assert np.isclose(r["corr"], want[int(r["y"]), int(r["x"])],
                           rtol=1e-12), (r["y"], r["x"])
+
+
+def test_map_as_series_center(ray_session):
+    """map_as_series (thunder images.py:~600) with a same-length func must
+    equal the numpy reference applied pixel-wise; frames keyed by rank."""
+    rng = np.random.default_rng(5)
+    a = rng.integers(0, 100, size=(6, 4, 6)).astype(np.int64)
+    ds = im.images_from_table(im.frames_from_array(a))
+
+    got = im.map_as_series(ds, lambda s: s - s.mean(), grid=(2, 3)).take_all()
+    want = a - a.mean(axis=0, keepdims=True)
+    assert len(got) == 6
+    for r in got:
+        f = int(r["frame_id"])
+        np.testing.assert_allclose(
+            np.asarray(r["image"]).reshape(4, 6), want[f])
+
+
+def test_map_as_series_shortens_series(ray_session):
+    """A func changing the series length (np.diff) produces t-1 frames."""
+    rng = np.random.default_rng(6)
+    a = rng.integers(0, 50, size=(5, 4, 4)).astype(np.int64)
+    ds = im.images_from_table(im.frames_from_array(a))
+    got = im.map_as_series(ds, np.diff, grid=(2, 2)).take_all()
+    want = np.diff(a, axis=0)
+    assert len(got) == 4
+    for r in got:
+        f = int(r["frame_id"])
+        np.testing.assert_array_equal(
+            np.asarray(r["image"]).reshape(4, 4), want[f])
+
+
+def test_map_as_series_vectorized_matches_udf(ray_session):
+    rng = np.random.default_rng(7)
+    a = rng.integers(0, 50, size=(5, 4, 4)).astype(np.int64)
+    ds = im.images_from_table(im.frames_from_array(a))
+    udf = {int(r["frame_id"]): np.asarray(r["image"]) for r in
+           im.map_as_series(ds, lambda s: s - s.min(), grid=(2, 2)).take_all()}
+    ds2 = im.images_from_table(im.frames_from_array(a))
+    vec = {int(r["frame_id"]): np.asarray(r["image"]) for r in
+           im.map_as_series(ds2, lambda X: X - X.min(axis=0, keepdims=True),
+                            grid=(2, 2), vectorized=True).take_all()}
+    assert udf.keys() == vec.keys()
+    for k in udf:
+        np.testing.assert_array_equal(udf[k], vec[k])

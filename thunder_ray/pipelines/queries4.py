@@ -468,6 +468,51 @@ FROM (SELECT fid, unnest(embedding) AS x,
 """
 
 
+def images_map_as_series_embeddings(sf_dir: str):
+    """thunder Images.map_as_series (images.py:~600) over embeddings-as-
+    frames: center every pixel's time series on its across-frame mean (the
+    ONE fixed expression float64(v) - float64(sum)/count, shared with the
+    SQL twin).  Output frames are keyed by RANK like the roundtrip query."""
+    from ..stages import images as im
+    from ..stages import listkernels as lk
+
+    frames = _frames_from_embeddings(sf_dir)
+    out = im.map_as_series(
+        frames,
+        lambda X: X.astype(np.float64)
+        - (X.sum(axis=0, dtype=np.int64).astype(np.float64) / X.shape[0])[None, :],
+        grid=(2, 2), vectorized=True)
+
+    def flat(batch: pa.Table) -> pa.Table:
+        fid = batch["frame_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        vals, offs = lk.list_parts(batch["image"])
+        base, rel = lk._flat(vals, offs)
+        return pa.table({
+            "frame_id": _i64(np.repeat(fid, np.diff(rel))),
+            "pos": _i64(lk.positions(offs)),
+            "value": pa.array(base.astype(np.float64)),
+        })
+
+    return out.map_batches(flat, batch_format="pyarrow", zero_copy_batch=True)
+
+
+IMAGES_MAP_AS_SERIES_SQL = """
+WITH ranked AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS fid, embedding
+  FROM embeddings
+),
+flat AS (
+  SELECT fid, pos, CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS v
+  FROM (SELECT fid, unnest(embedding) AS x,
+               unnest(range(len(embedding))) AS pos FROM ranked)
+),
+m AS (SELECT pos, CAST(SUM(v) AS BIGINT) AS s, COUNT(*) AS c FROM flat GROUP BY pos)
+SELECT CAST(f.fid AS BIGINT) AS frame_id, CAST(f.pos AS BIGINT) AS pos,
+       CAST(f.v AS DOUBLE) - CAST(m.s AS DOUBLE) / m.c AS value
+FROM flat f JOIN m USING (pos)
+"""
+
+
 def images_localcorr_embeddings(sf_dir: str):
     """thunder Images.localcorr via toblocks + halo (images.py:~130/~430):
     per-pixel Pearson correlation between the pixel's time series and its
@@ -517,6 +562,7 @@ def build_queries4() -> dict:
         "images_max_projection_embeddings": images_max_projection_embeddings,
         "images_toseries_stats": images_toseries_stats,
         "images_roundtrip_embeddings": images_roundtrip_embeddings,
+        "images_map_as_series_embeddings": images_map_as_series_embeddings,
         "images_localcorr_embeddings": images_localcorr_embeddings,
     }
 
@@ -537,5 +583,6 @@ SELECT source, bucket, count, sum, min, max, mean, m2 FROM (
         "images_max_projection_embeddings": IMAGES_MAX_PROJ_SQL,
         "images_toseries_stats": IMAGES_TOSERIES_SQL,
         "images_roundtrip_embeddings": IMAGES_ROUNDTRIP_SQL,
+        "images_map_as_series_embeddings": IMAGES_MAP_AS_SERIES_SQL,
         "images_localcorr_embeddings": IMAGES_LOCALCORR_SQL,
     }
