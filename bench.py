@@ -132,7 +132,16 @@ def main_default(num_cpus: int, sf_dir: str, sf_label) -> dict:
     with open(DETAIL_PATH, "w") as f:
         json.dump({"headline": headline, "queries": qtimes,
                    "query_rows": qrows, "sf": sf_label,
-                   "num_cpus": num_cpus}, f, indent=1)
+                   "num_cpus": num_cpus,
+                   "notes": ("tier-consuming queries (rolling/retention/asof/"
+                             "gorilla/compression and the 1h/1d rollups, which "
+                             "re-roll the cached 1m tier) amortize 1m-tier "
+                             "construction across the suite: the FIRST tier "
+                             "consumer's time includes building the shared "
+                             "materialized tier (queries._TIER_CACHE), later "
+                             "ones read it from the object store — per-query "
+                             "times are suite-order dependent by design "
+                             "(ADVICE r2)")}, f, indent=1)
     return {
         "metric": "rollup pts/s + query suite",
         "value": total,

@@ -312,7 +312,11 @@ def _events_rollup(sf_dir: str, tier_seconds: int):
     """events -> per (event_type, bucket) exact-int count/sum at
     ``tier_seconds`` (materialized once per (sf_dir, tier) — tier artifacts
     are read by several queries, like queries.rollup_documents)."""
-    key = (sf_dir, tier_seconds)
+    from .queries import _source_fingerprint
+
+    # fingerprinted like queries._TIER_CACHE (ADVICE r2): regenerated input
+    # parquet in the same process must not serve stale rolled points
+    key = (sf_dir, _source_fingerprint(sf_dir, "events"), tier_seconds)
     if key in _EVENTS_TIER_CACHE:
         return _EVENTS_TIER_CACHE[key]
     from ray.data.aggregate import Sum
