@@ -278,11 +278,18 @@ def ngram_jaccard_pairs_documents(sf_dir: str):
     carried on the shingle rows.  jaccard = i/(n_lo+n_hi-i) on exact ints.
     (Shingles compare by 64-bit SipHash — collision probability ~1e-14 per
     corpus, the only deviation from the string-equality SQL twin.)"""
-    sh = _shingle_rows(sf_dir)
-    right = sh.map_batches(
+    return _pair_jaccard(_combine_pair_counts(_gram_join_matches(
+        _shingle_rows(sf_dir))))
+
+
+def _gram_join_matches(rows):
+    """(doc_id, gram, n_doc) rows -> (doc_lo, doc_hi, n_lo, n_hi) match rows
+    via the gram self-join (one row per shared gram per ordered pair) —
+    shared by the exact and df-capped n-gram pipelines."""
+    right = rows.map_batches(
         lambda b: b.rename_columns(["doc_hi", "gram", "n_hi"]),
         batch_format="pyarrow", zero_copy_batch=True)
-    joined = sh.join(right, "inner", derive_parallelism(), on=("gram",))
+    joined = rows.join(right, "inner", derive_parallelism(), on=("gram",))
 
     def keep_lo_hi(batch: pa.Table) -> pa.Table:
         a = batch["doc_id"].to_numpy(zero_copy_only=False)
@@ -294,8 +301,8 @@ def ngram_jaccard_pairs_documents(sf_dir: str):
             "n_hi": _i64(batch["n_hi"].to_numpy(zero_copy_only=False)[m]),
         })
 
-    matches = joined.map_batches(keep_lo_hi, batch_format="pyarrow", zero_copy_batch=True)
-    return _pair_jaccard(_combine_pair_counts(matches))
+    return joined.map_batches(keep_lo_hi, batch_format="pyarrow",
+                              zero_copy_batch=True)
 
 
 # Doc-frequency cap for the PRODUCTION n-gram path: a boilerplate shingle
@@ -355,12 +362,54 @@ def ngram_jaccard_capped_documents(sf_dir: str,
                                    max_doc_freq: int = NGRAM_MAX_DF):
     """PRODUCTION n-gram Jaccard: candidate pairs from rare grams only
     (df <= max_doc_freq bounds the self-join at ``df * max_doc_freq`` rows
-    per gram instead of df^2 on boilerplate), then exact full-set jaccard
-    on candidates.  Scores are exact; recall misses only pairs whose ENTIRE
-    shared shingle set is hot — which the SQL twin reproduces, so this
-    entry still hash-matches."""
-    rare = _rare_shingle_rows(sf_dir, max_doc_freq)
-    cand = _maybe_barrier(_pairs_via_self_join(rare, ("gram",)))
+    per gram instead of df^2 on boilerplate).  Scores are exact; recall
+    misses only pairs whose ENTIRE shared shingle set is hot — which the
+    SQL twin reproduces, so this entry still hash-matches.
+
+    Verification is PRUNED with a provable upper bound before any verify
+    join runs (measured: the naive verify-every-candidate tail took 80s at
+    sf0.1 on 1.13M candidates): with ``i`` = shared RARE grams and ``G`` =
+    the GLOBAL count of distinct hot grams (driver scalar, tiny by the
+    boilerplate premise), the true intersection is <= i + G, so
+    ``J <= (i + G) / (n_lo + n_hi - i - G)``.  Pairs under the threshold
+    bound are dropped losslessly.  When G == 0 (no hot grams at all — the
+    clean-corpus common case) the rare-gram jaccard IS the exact jaccard
+    and no verify join runs; otherwise only bound-passing survivors are
+    verified exactly against the full shingle stream."""
+    from ray.data.aggregate import Count
+
+    sh = _shingle_rows(sf_dir)
+    df = sh.groupby("gram").aggregate(Count(alias_name="df")).materialize()
+
+    def keep_rare(batch: pa.Table) -> pa.Table:
+        m = batch["df"].to_numpy(zero_copy_only=False) <= max_doc_freq
+        return pa.table({"gram": _i64(
+            batch["gram"].to_numpy(zero_copy_only=False)[m])})
+
+    rare_grams = df.map_batches(keep_rare, batch_format="pyarrow",
+                                zero_copy_batch=True).materialize()
+    g_hot = df.count() - rare_grams.count()
+    rare = sh.join(rare_grams, "inner", derive_parallelism(), on=("gram",))
+    counts = _combine_pair_counts(_gram_join_matches(rare))
+
+    if g_hot == 0:
+        # no hot grams -> rare counts are the exact intersection counts
+        return _pair_jaccard(counts)
+
+    def prefilter(batch: pa.Table) -> pa.Table:
+        i = batch["i"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nl = batch["n_lo"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nh = batch["n_hi"].to_numpy(zero_copy_only=False).astype(np.int64)
+        it = i + g_hot                       # intersection upper bound
+        denom = nl + nh - it
+        ub = np.where(denom > 0, it / np.maximum(denom, 1), np.inf)
+        keep = ub >= JACCARD_T
+        return pa.table({"doc_lo": _i64(batch["doc_lo"].to_numpy(
+            zero_copy_only=False)[keep]),
+            "doc_hi": _i64(batch["doc_hi"].to_numpy(zero_copy_only=False)[keep])})
+
+    cand = _maybe_barrier(counts.map_batches(
+        prefilter, batch_format="pyarrow", zero_copy_batch=True))
     return _verify_pairs_exact_jaccard(cand, sf_dir)
 
 

@@ -12,16 +12,23 @@ fewer partitions than it has blocks.
 from __future__ import annotations
 
 
-def derive_parallelism(*datasets, per_cpu: int = 2, lo: int = 8,
+def derive_parallelism(*datasets, per_cpu: float = 0.5, lo: int = 8,
                        hi: int = 4096) -> int:
     """Partition count for ``Dataset.join`` / shuffling fan-in stages.
 
-    - baseline: ``cluster CPUs x per_cpu`` (enough partitions that every
-      core has work through the tail of the exchange);
-    - raised to the block count of any MATERIALIZED input (a lazy input's
-      block count is unknowable pre-execution — Ray resizes dynamically);
+    - baseline: ``cluster CPUs x per_cpu``.  per_cpu defaults to 0.5, NOT
+      >=1: Ray 2.49's hash join spawns min(num_partitions, 64) aggregator
+      ACTORS per join pool, each with a 1-CPU shuffle-task bundle and a
+      memory reservation — measured on the 18s ngram gram self-join at
+      32 CPUs: 8 partitions = 15.9s, **16 = 7.8s**, 32 = 16.9s, 64 =
+      livelock (>120s, 160+ workers; several concurrent pools exhaust the
+      memory admission).  CPUs/2 scales with the cluster — the thing that
+      grows from the 32-CPU test node to a 256-node cluster — without
+      oversubscribing any one node's aggregator pool;
     - clamped to [lo, hi]: ``lo`` keeps small test runs from degenerating
-      to one partition, ``hi`` bounds scheduler pressure per exchange.
+      to one partition, ``hi`` bounds scheduler pressure per exchange
+      (partitions beyond Ray's 64-aggregator cap just queue per actor,
+      which is the memory-bounding behavior wanted at 100 TB).
     """
     import ray
 
@@ -29,11 +36,6 @@ def derive_parallelism(*datasets, per_cpu: int = 2, lo: int = 8,
     if ray.is_initialized():
         cpus = float(ray.cluster_resources().get("CPU", 8.0) or 8.0)
     n = int(cpus * per_cpu)
-    for ds in datasets:
-        try:
-            n = max(n, ds.num_blocks())
-        except (NotImplementedError, AttributeError):
-            pass
     return max(lo, min(n, hi))
 
 
