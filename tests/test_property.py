@@ -171,3 +171,28 @@ def test_minhash_simhash_batch_property(texts):
     for i, t in enumerate(texts):
         assert np.array_equal(sigs[i], dd.minhash_signature(dd._shingle_set(t))), repr(t)
         assert int(sims[i]) == dd.simhash64(t), repr(t)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.integers(-2**62, 2**62 - 1), max_size=200))
+def test_gorilla_dod_vectorized_fuzz(vals):
+    """Vectorized dod decode == scalar oracle == input, any int64 stream."""
+    from thunder_ray.functions import gorilla as g
+
+    a = np.asarray(vals, dtype=np.int64)
+    enc = g.encode_dod(a)
+    np.testing.assert_array_equal(g.decode_dod(enc, len(a)), a)
+    np.testing.assert_array_equal(g._decode_dod_scalar(enc, len(a)), a)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.floats(allow_nan=False, width=64), max_size=200))
+def test_gorilla_xor_vectorized_fuzz(vals):
+    from thunder_ray.functions import gorilla as g
+
+    a = np.asarray(vals, dtype=np.float64)
+    enc = g.encode_xor(a)
+    got = g.decode_xor(enc, len(a))
+    ref = g._decode_xor_scalar(enc, len(a))
+    assert got.view(np.uint64).tobytes() == a.view(np.uint64).tobytes()
+    assert ref.view(np.uint64).tobytes() == a.view(np.uint64).tobytes()
