@@ -275,11 +275,15 @@ _LOG_MARK = "## Scaling measurement log (append-only, every window kept)"
 
 
 def _update_baseline_md(result: dict):
-    """Replace the SUMMARY section with the latest window; APPEND the window
-    to the measurement log. Prior windows are never deleted (VERDICT r1 #1:
-    no more curated narratives)."""
+    """Replace the SUMMARY section with the latest CANONICAL window (the
+    8-vs-32 protocol BASELINE.json implies); APPEND every window — canonical
+    or supplementary (e.g. 2-vs-8 per VERDICT r2 #10) — to the measurement
+    log. Prior windows are never deleted (VERDICT r1 #1: no more curated
+    narratives), and a supplementary window must not clobber the headline
+    summary with a different-arm protocol line."""
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE.md")
     n, n4 = result["num_cpus"]
+    canonical = (4 * n == DEFAULT_CPUS)
     lo0 = result["runs_low"][0]
     summary = (
         f"{_SUMMARY_MARK}\n\n"
@@ -323,13 +327,19 @@ def _update_baseline_md(result: dict):
         text = open(path).read()
     except FileNotFoundError:
         text = ""
-    # Replace summary (everything from SUMMARY_MARK up to LOG_MARK or EOF).
+    # Replace summary (everything from SUMMARY_MARK up to LOG_MARK or EOF) —
+    # but only for a canonical-protocol window; supplementary arm pairs keep
+    # the existing summary and just append their window to the log.
     if _SUMMARY_MARK in text:
         head = text[: text.index(_SUMMARY_MARK)]
+        existing_summary = text[text.index(_SUMMARY_MARK): text.index(_LOG_MARK)] if _LOG_MARK in text else ""
         tail = text[text.index(_LOG_MARK):] if _LOG_MARK in text else f"{_LOG_MARK}\n\n"
     else:
         head = text.rstrip() + "\n\n"
+        existing_summary = ""
         tail = f"{_LOG_MARK}\n\n"
+    if not canonical and existing_summary:
+        summary = existing_summary.rstrip() + "\n"
     text = head + summary + "\n" + tail.rstrip() + "\n\n" + log_entry
     with open(path, "w") as f:
         f.write(text)
