@@ -750,6 +750,7 @@ FROM documents
 def build_queries() -> dict:
     from ..stages.multimodal import build_multimodal_queries
     from .ann import build_ann_queries
+    from .codecio import build_codecio_queries
     from .dedup import build_dedup_queries
     from .queries2 import build_queries2
     from .queries3 import build_queries3
@@ -757,6 +758,7 @@ def build_queries() -> dict:
     from .textops import build_textops_queries
 
     return {
+        **build_codecio_queries(),
         **build_queries2(),
         **build_queries3(),
         **build_queries4(),
@@ -789,6 +791,7 @@ def build_queries() -> dict:
 def build_oracle_sql() -> dict:
     from ..stages.multimodal import build_multimodal_sql
     from .ann import build_ann_sql
+    from .codecio import build_codecio_sql
     from .dedup import build_dedup_sql
     from .queries2 import build_oracle_sql2
     from .queries3 import build_oracle_sql3
@@ -796,6 +799,7 @@ def build_oracle_sql() -> dict:
     from .textops import build_textops_sql
 
     return {
+        **build_codecio_sql(),
         **build_oracle_sql2(),
         **build_oracle_sql3(),
         **build_oracle_sql4(),

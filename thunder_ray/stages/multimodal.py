@@ -2,11 +2,11 @@
 processed by actor-pool ``map_batches`` stages (SURVEY.md §2.8 pattern —
 stateful setup once per actor in ``__init__``, vectorized work per batch).
 
-The container has no image/audio codecs, so the DECODE step is explicitly
-stubbed: ``FakeDecoder`` derives deterministic "pixels" from the payload
-bytes (so the whole pipeline — schema, batch sizing, actor signature,
-output layout — is real and tested end-to-end), while ``RealDecoder``
-raises ``NotImplementedError`` behind an import-try on PIL/soundfile.
+Decode paths: ``PngDecoder`` is a REAL decoder — PNG needs only stdlib
+zlib, implemented in ``functions/png.py`` (same for TIFF via
+``functions/tiff.py``).  ``FakeDecoder`` remains the deterministic
+stand-in for formats whose codecs the container lacks (JPEG/audio), and
+``RealDecoder`` stays import-gated on PIL/soundfile for those.
 
 Memory discipline for large payloads: callers should pass a small
 ``batch_size`` (payload bytes x batch_size x concurrency must fit worker
@@ -66,10 +66,53 @@ class FakeDecoder:
         })
 
 
+class PngDecoder:
+    """REAL image decode over an actor pool: PNG payloads -> exact per-image
+    pixel stats (sum/min/max + raster-order-weighted sum).  The codec is the
+    pure-numpy PNG implementation in ``functions/png.py`` — no PIL needed.
+    ``__init__`` builds per-actor state once (the weight ramp); ``__call__``
+    decodes a batch of images."""
+
+    def __init__(self, max_pixels: int = 1 << 24):
+        self._w_cache: np.ndarray = np.arange(1, 257, dtype=np.int64)
+        self._max_pixels = max_pixels
+
+    def _weights(self, n: int) -> np.ndarray:
+        if n > len(self._w_cache):
+            self._w_cache = np.arange(1, n + 1, dtype=np.int64)
+        return self._w_cache[:n]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.png import decode_png
+
+        payload = batch["payload"]
+        if isinstance(payload, pa.ChunkedArray):
+            payload = payload.combine_chunks()
+        sums, mins, maxs, wsums = [], [], [], []
+        for blob in payload:
+            img = decode_png(blob.as_py()).astype(np.int64).reshape(-1)
+            if len(img) > self._max_pixels:
+                raise ValueError("image exceeds per-actor pixel budget")
+            sums.append(int(img.sum()))
+            mins.append(int(img.min()))
+            maxs.append(int(img.max()))
+            wsums.append(int(img @ self._weights(len(img))))
+        mid = batch["media_id"]
+        return pa.table({
+            "media_id": mid.combine_chunks()
+            if isinstance(mid, pa.ChunkedArray) else mid,
+            "pixel_sum": pa.array(sums, type=pa.int64()),
+            "pixel_min": pa.array(mins, type=pa.int64()),
+            "pixel_max": pa.array(maxs, type=pa.int64()),
+            "pixel_wsum": pa.array(wsums, type=pa.int64()),
+        })
+
+
 class RealDecoder:
-    """The production decode stage: requires PIL / soundfile, which this
-    container does not ship — import-gated stub (north-rule multimodal
-    requirement: make the Ray plumbing real, stub the codec)."""
+    """Decode stage for formats the container has no codecs for (JPEG,
+    audio): requires PIL / soundfile — import-gated stub (north-rule
+    multimodal requirement: make the Ray plumbing real, stub the codec).
+    PNG/TIFF do NOT route here: see ``PngDecoder`` / ``functions/tiff.py``."""
 
     def __init__(self, media_type: str = "image"):
         try:
