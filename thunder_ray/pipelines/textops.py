@@ -504,6 +504,136 @@ def _rolling_fp_batch(batch: pa.Table) -> pa.Table:
     })
 
 
+# ---------------------------------------------------------------------------
+# Vocabulary build + per-doc characteristic term (tf/df relevance)
+
+def _word_count_partials(batch: pa.Table) -> pa.Table:
+    """(word, n) partial counts within one batch (whitespace tokens, same
+    convention as the lang-ID profile — vectorized Arrow split + np.unique)."""
+    words = pc.split_pattern(batch["text"], " ")
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    flat = words.values.to_numpy(zero_copy_only=False)
+    uw, cnt = np.unique(flat, return_counts=True)
+    return pa.table({"word": pa.array(uw), "n": _i64(cnt)})
+
+
+def vocab_topk_documents(sf_dir: str, k: int = 100):
+    """Corpus vocabulary build: top-k words by global count (tie: word asc)
+    — the vocab-extraction step of a training-data pipeline.  Per-batch
+    partial counts combine BEFORE the shuffle so the groupby moves
+    O(batches x batch-vocab) rows, not one row per token; the sort runs on
+    the vocab-sized aggregate and ``limit`` truncates streaming."""
+    from ray.data.aggregate import Sum
+
+    counts = _read_docs(sf_dir, ["text"]).map_batches(
+        _word_count_partials, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("word").aggregate(Sum("n", alias_name="n"))
+    return counts.sort(["n", "word"], descending=[True, False]).limit(k)
+
+
+VOCAB_TOPK_SQL = """
+WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+FROM w GROUP BY word ORDER BY n DESC, word ASC LIMIT 100
+"""
+
+
+def top_term_documents(sf_dir: str):
+    """Per-doc characteristic term: among the doc's words pick by
+    (tf DESC, df ASC, word ASC) — term-frequency relevance with a
+    document-frequency rarity tie-break.  Integer-exact on purpose: a float
+    tf*ln(N/df) would hang bit-parity on libm rounding (repo exactness
+    discipline), while this keeps the full tf-idf ORDERING semantics for
+    the dominant term.
+
+    Plan (all vectorized): flat (doc, word, tf) partials per batch -> df =
+    groupby(word) count of distinct docs (a doc never spans a batch, so
+    batch partials sum exactly) -> C++ hash join tf x df on word (derived
+    parallelism) -> per-doc best via the lang-ID combiner-tree shape
+    (per-batch lexsort prereduction, fan-in, final merge; final task holds
+    <= one row per doc — same documented bound as language_id, keyed
+    groupby(doc_id) is the beyond-one-heap path)."""
+    from ray.data.aggregate import Sum
+
+    def doc_tf(batch: pa.Table) -> pa.Table:
+        doc = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        words = pc.split_pattern(batch["text"], " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        lens = pc.list_value_length(words).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat_doc = np.repeat(doc, lens)
+        flat_w = words.values.to_numpy(zero_copy_only=False)
+        uw, wcode = np.unique(flat_w, return_inverse=True)
+        udoc, dcode = np.unique(flat_doc, return_inverse=True)
+        key = dcode.astype(np.int64) * len(uw) + wcode
+        uniq, cnt = np.unique(key, return_counts=True)
+        return pa.table({
+            "doc_id": _i64(udoc[uniq // len(uw)]),
+            "word": pa.array(uw[uniq % len(uw)]),
+            "tf": _i64(cnt),
+        })
+
+    tf = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        doc_tf, batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        # tf rows are distinct (doc, word) pairs -> counting words here IS
+        # a per-batch document-frequency partial
+        uw, cnt = np.unique(
+            batch["word"].to_numpy(zero_copy_only=False), return_counts=True)
+        return pa.table({"word": pa.array(uw), "df": _i64(cnt)})
+
+    df = tf.map_batches(df_partial, batch_format="pyarrow",
+                        zero_copy_batch=True).groupby("word").aggregate(
+        Sum("df", alias_name="df")).materialize()
+
+    joined = tf.join(df, "inner", sized_parallelism(tf.count()),
+                     on=("word",)).select_columns(
+        ["doc_id", "word", "tf", "df"])
+
+    def best(batch: pa.Table) -> pa.Table:
+        doc = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        word = batch["word"].to_numpy(zero_copy_only=False)
+        tf_ = batch["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
+        df_ = batch["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((word, df_, -tf_, doc))  # per doc: tf desc, df asc, word asc
+        d = doc[order]
+        first = np.empty(len(d), dtype=bool)
+        if len(d):
+            first[0] = True
+            first[1:] = d[1:] != d[:-1]
+        sel = order[first]
+        return pa.table({"doc_id": _i64(doc[sel]), "word": pa.array(word[sel]),
+                         "tf": _i64(tf_[sel]), "df": _i64(df_[sel])})
+
+    level1 = joined.map_batches(best, batch_format="pyarrow",
+                                zero_copy_batch=True, batch_size=None)
+    level2 = level1.repartition(fanin_partitions()).map_batches(
+        best, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    return level2.repartition(1).map_batches(
+        best, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+
+
+TOP_TERM_SQL = """
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+),
+tf AS (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+       FROM w GROUP BY doc_id, word),
+df AS (SELECT word, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+       FROM w GROUP BY word)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, word, tf, df
+FROM (SELECT tf.doc_id, tf.word, tf.tf, df.df,
+             row_number() OVER (PARTITION BY tf.doc_id
+                                ORDER BY tf.tf DESC, df.df ASC, tf.word ASC)
+               AS rn
+      FROM tf JOIN df USING (word))
+WHERE rn = 1
+"""
+
+
 def build_textops_queries() -> dict:
     return {
         "quality_score_documents": quality_score_documents,
@@ -511,6 +641,8 @@ def build_textops_queries() -> dict:
         "token_count_bpe_documents": token_count_bpe_documents,
         "fingerprint_documents": fingerprint_documents,
         "fingerprint_rolling_documents": fingerprint_rolling_documents,
+        "vocab_topk_documents": vocab_topk_documents,
+        "top_term_documents": top_term_documents,
     }
 
 
@@ -521,4 +653,6 @@ def build_textops_sql() -> dict:
         "token_count_bpe_documents": TOKEN_COUNT_BPE_SQL,
         "fingerprint_documents": FINGERPRINT_SQL,
         # fingerprint_rolling_documents: rows-only (see docstring)
+        "vocab_topk_documents": VOCAB_TOPK_SQL,
+        "top_term_documents": TOP_TERM_SQL,
     }
