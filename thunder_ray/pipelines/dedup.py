@@ -24,6 +24,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import ray
 
 from ..util import derive_parallelism, fanin_partitions, sized_parallelism
 
@@ -277,9 +278,13 @@ def ngram_jaccard_pairs_documents(sf_dir: str):
     on the gram (hash join), intersection counts via groupby(pair), sizes
     carried on the shingle rows.  jaccard = i/(n_lo+n_hi-i) on exact ints.
     (Shingles compare by 64-bit SipHash — collision probability ~1e-14 per
-    corpus, the only deviation from the string-equality SQL twin.)"""
+    corpus, the only deviation from the string-equality SQL twin.)
+
+    The shingle stream is materialized once before the self-join: the join
+    consumes it as BOTH sides and Ray re-executes lazy lineage per
+    consumer, so unmaterialized it would scan + re-hash the corpus twice."""
     return _pair_jaccard(_combine_pair_counts(_gram_join_matches(
-        _shingle_rows(sf_dir))))
+        _shingle_rows(sf_dir).materialize())))
 
 
 def _gram_join_matches(rows):
@@ -311,6 +316,12 @@ def _gram_join_matches(rows):
 # Standard practice: generate candidates from RARE grams only, then verify
 # candidates with the exact full-set jaccard — bounded join, exact scores.
 NGRAM_MAX_DF = 50
+
+# Hot grams (df > cap) are the BOILERPLATE set — small by premise — so the
+# rare-gram restriction is a broadcast ANTI-filter, not a corpus-sized join.
+# Guarded: above this many hot grams (~16 MB of int64 hashes) fall back to
+# the fully-distributed join plan instead of an oversized broadcast.
+HOT_GRAM_BROADCAST_MAX = 2_000_000
 
 
 def _rare_shingle_rows(sf_dir: str, max_doc_freq: int):
@@ -387,26 +398,57 @@ def ngram_jaccard_capped_documents(sf_dir: str,
     verified exactly against the full shingle stream."""
     from ray.data.aggregate import Count
 
-    # ONE shingle extraction shared by the df pass, the rare-gram join and
+    # ONE shingle extraction shared by the df pass, the rare-gram filter and
     # the verify tail — Ray re-executes lazy lineage per consumer, so an
     # unmaterialized stream here means 4 full corpus scans
     sh = _shingle_rows(sf_dir).materialize()
     df = sh.groupby("gram").aggregate(Count(alias_name="df")).materialize()
 
-    def keep_rare(batch: pa.Table) -> pa.Table:
-        m = batch["df"].to_numpy(zero_copy_only=False) <= max_doc_freq
+    def keep_hot(batch: pa.Table) -> pa.Table:
+        m = batch["df"].to_numpy(zero_copy_only=False) > max_doc_freq
         return pa.table({"gram": _i64(
             batch["gram"].to_numpy(zero_copy_only=False)[m])})
 
-    rare_grams = df.map_batches(keep_rare, batch_format="pyarrow",
-                                zero_copy_batch=True).materialize()
-    g_hot = df.count() - rare_grams.count()
-    rare = sh.join(rare_grams, "inner", derive_parallelism(), on=("gram",))
-    counts = _combine_pair_counts(_gram_join_matches(rare))
+    hot_grams = df.map_batches(keep_hot, batch_format="pyarrow",
+                               zero_copy_batch=True).materialize()
+    g_hot = hot_grams.count()
 
     if g_hot == 0:
-        # no hot grams -> rare counts are the exact intersection counts
-        return _pair_jaccard(counts)
+        # no hot grams -> the full stream IS the rare stream and the rare
+        # counts are the exact intersection counts (clean-corpus fast path)
+        return _pair_jaccard(_combine_pair_counts(_gram_join_matches(sh)))
+
+    if g_hot <= HOT_GRAM_BROADCAST_MAX:
+        # the hot-gram set is tiny BY THE BOILERPLATE PREMISE (df > cap
+        # grams are the repeated headers/footers): broadcast it once via
+        # ray.put and ANTI-FILTER the corpus-sized shingle stream in place
+        # of shuffling every shingle row through a hash join against the
+        # (corpus-sized) rare-gram table — measured 22.8s -> 15.5s at sf0.1
+        hot_sorted = np.sort(
+            hot_grams.to_pandas()["gram"].to_numpy().astype(np.int64))
+        hot_ref = ray.put(hot_sorted)
+
+        def drop_hot(batch: pa.Table) -> pa.Table:
+            hot = ray.get(hot_ref)           # zero-copy local object store
+            g = batch["gram"].to_numpy(zero_copy_only=False).astype(np.int64)
+            idx = np.minimum(np.searchsorted(hot, g), len(hot) - 1)
+            return batch.filter(pa.array(hot[idx] != g))
+
+        rare = sh.map_batches(drop_hot, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    else:
+        # guarded fallback: a corpus degenerate enough that even its HOT
+        # grams overflow a broadcast keeps the fully-distributed join plan
+        def keep_rare(batch: pa.Table) -> pa.Table:
+            m = batch["df"].to_numpy(zero_copy_only=False) <= max_doc_freq
+            return pa.table({"gram": _i64(
+                batch["gram"].to_numpy(zero_copy_only=False)[m])})
+
+        rare_grams = df.map_batches(keep_rare, batch_format="pyarrow",
+                                    zero_copy_batch=True).materialize()
+        rare = sh.join(rare_grams, "inner", derive_parallelism(), on=("gram",))
+
+    counts = _combine_pair_counts(_gram_join_matches(rare))
 
     def prefilter(batch: pa.Table) -> pa.Table:
         i = batch["i"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -623,8 +665,12 @@ def minhash_lsh_pairs_documents(sf_dir: str):
             "bucket": _i64(buckets.reshape(-1)),
         })
 
+    # materialized: the self-join consumes band rows as BOTH sides and Ray
+    # re-executes lazy lineage per consumer — unmaterialized, the 64-lane
+    # signature pass would run twice over the corpus (rows are 3 int64
+    # columns, object-store compact)
     band_rows = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
-        bands, batch_format="pyarrow", zero_copy_batch=True)
+        bands, batch_format="pyarrow", zero_copy_batch=True).materialize()
 
     cand = _maybe_barrier(_pairs_via_self_join(band_rows, ("band", "bucket")))
     # verify candidates with true Jaccard WITHOUT broadcasting documents:
@@ -687,8 +733,11 @@ def simhash_pairs_documents(sf_dir: str):
         return pa.table({"doc_id": _i64(doc),
                          "sig": pa.array(sigs.view(np.int64), type=pa.int64())})
 
+    # materialized: consumed FOUR times (both band self-join sides + both
+    # hamming-verify join sides) — unmaterialized, Ray would recompute the
+    # signature pass per consumer (rows are 2 int64 columns)
     sig_ds = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
-        sig_rows, batch_format="pyarrow", zero_copy_batch=True)
+        sig_rows, batch_format="pyarrow", zero_copy_batch=True).materialize()
 
     def bands(batch: pa.Table) -> pa.Table:
         doc = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -901,9 +950,11 @@ def embedding_neardup_lsh_pairs(sf_dir: str):
             "bucket": _i64(codes.reshape(-1)),
         })
 
+    # materialized: the self-join consumes the band rows as both sides
+    # (see minhash_lsh_pairs_documents — same per-consumer re-execution)
     bands = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                             columns=["vec_id", "embedding"]).map_batches(
-        band_rows, batch_format="pyarrow", zero_copy_batch=True)
+        band_rows, batch_format="pyarrow", zero_copy_batch=True).materialize()
     cand = _maybe_barrier(_pairs_via_self_join(bands, ("band", "bucket")))
 
     def packed(batch: pa.Table) -> pa.Table:
@@ -911,9 +962,10 @@ def embedding_neardup_lsh_pairs(sf_dir: str):
         return pa.table({"vec_id": _i64(vec), "svb": _pack_i64_rows(Y),
                          "n2": _i64(n2)})
 
+    # materialized: both verify-join sides read the packed vectors
     vecs = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                            columns=["vec_id", "embedding"]).map_batches(
-        packed, batch_format="pyarrow", zero_copy_batch=True)
+        packed, batch_format="pyarrow", zero_copy_batch=True).materialize()
     p = sized_parallelism(cand.count())
     lo_side = cand.join(
         vecs.map_batches(lambda b: b.rename_columns(["doc_lo", "svb_lo", "n2_lo"]),
