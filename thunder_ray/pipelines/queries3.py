@@ -53,17 +53,23 @@ def _binary_to_flat(col) -> tuple[np.ndarray, np.ndarray]:
 
 
 def elementwise_plus_tokens(sf_dir: str):
-    ds = tokens_from_documents(sf_dir)
-
-    left = ds.map_batches(
+    # one materialized (key, packed-tokens) projection: the join consumes it
+    # as BOTH sides and Ray re-executes lazy lineage per consumer, so an
+    # unmaterialized stream would read + tokenize the corpus twice; the
+    # left/right derivations below are zero-copy renames over its blocks
+    base = tokens_from_documents(sf_dir).map_batches(
         lambda b: pa.table({"k": b["doc_id_int"],
-                            "tok_l": _tokens_as_binary(b["tokens"])}),
+                            "tok": _tokens_as_binary(b["tokens"])}),
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    left = base.map_batches(
+        lambda b: b.rename_columns(["k", "tok_l"]),
         batch_format="pyarrow", zero_copy_batch=True)
-    right = ds.map_batches(
+    right = base.map_batches(
         lambda b: pa.table({
-            "k": pa.array(b["doc_id_int"].to_numpy(zero_copy_only=False) - 1,
+            "k": pa.array(b["k"].to_numpy(zero_copy_only=False) - 1,
                           type=pa.int64()),
-            "tok_r": _tokens_as_binary(b["tokens"])}),
+            "tok_r": b["tok"]}),
         batch_format="pyarrow", zero_copy_batch=True)
 
     joined = left.join(right, "inner", derive_parallelism(), on=("k",))
