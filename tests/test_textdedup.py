@@ -256,6 +256,36 @@ def test_ngram_cap_bounds_boilerplate_keeps_recall(ray_session, tmp_path):
     assert got[(100, 101)] == full[(100, 101)]   # exact score, same pair
 
 
+def test_capped_ngram_join_fallback_matches_broadcast(ray_session, tmp_path,
+                                                      monkeypatch):
+    """With HOT_GRAM_BROADCAST_MAX forced to 0 the capped path must take the
+    distributed rare-gram JOIN plan (the guarded fallback for corpora whose
+    hot-gram set overflows a broadcast) and produce exactly the rows the
+    broadcast anti-filter plan produces.  Boilerplate is planted so the
+    hot-gram set is NON-empty (the clean-corpus fast path would bypass both
+    branches)."""
+    import pyarrow.parquet as pq
+
+    boiler = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, f"{boiler} " + " ".join(f"u{i}w{j}" for j in range(16)))
+            for i in range(30)]
+    near = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    rows += [(100, near), (101, near.replace("mu", "nu"))]
+    pq.write_table(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "text": pa.array([r[1] for r in rows], type=pa.string()),
+    }), str(tmp_path / "documents.parquet"))
+    sf, cap = str(tmp_path), 5
+
+    via_broadcast = {(int(r["doc_lo"]), int(r["doc_hi"]), r["jaccard"])
+                     for r in dd.ngram_jaccard_capped_documents(sf, cap).take_all()}
+    monkeypatch.setattr(dd, "HOT_GRAM_BROADCAST_MAX", 0)
+    via_join = {(int(r["doc_lo"]), int(r["doc_hi"]), r["jaccard"])
+                for r in dd.ngram_jaccard_capped_documents(sf, cap).take_all()}
+    assert (100, 101) in {(a, b) for a, b, _ in via_broadcast}
+    assert via_join == via_broadcast
+
+
 def test_pair_strategy_auto_picks_by_cardinality():
     assert dd._pick_pair_strategy("auto", None) == "tree"
     assert dd._pick_pair_strategy("auto", dd.TREE_MAX_PAIRS) == "tree"
