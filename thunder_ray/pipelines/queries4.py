@@ -344,6 +344,116 @@ FROM ev ASOF JOIN t
 
 
 # ---------------------------------------------------------------------------
+# Gap-based sessionization (streaming-window engine addition; thunder has no
+# event ops — SURVEY.md 'Custom operators' bullet (a): map_batches +
+# groupby().map_groups composition)
+
+SESSION_TIMEOUT_US = 30 * 60 * 1_000_000        # 30-minute inactivity gap
+SESSION_SHARD_US = 24 * 3600 * 1_000_000        # day shards for the heavy pass
+
+
+def sessionize_events(sf_dir: str, timeout_us: int = SESSION_TIMEOUT_US,
+                      shard_us: int = SESSION_SHARD_US):
+    """Per-user sessions: consecutive events whose inter-event gap is
+    <= timeout; a strictly larger gap starts a new session.  Output one row
+    per (user_id, session): 1-based session_id in start order, start/end as
+    int64 epoch-us, event count.
+
+    Two-pass sharded plan (NO whole-user-history group in the heavy pass —
+    the gap_fill/rolling lesson from VERDICT r1 #9 applied up front):
+      1. heavy pass over raw events grouped by (user_id, day): sort the
+         shard's timestamps, split at gaps > timeout, emit session
+         FRAGMENTS (start, end, n).  Fragments per shard are bounded by
+         shard_us/timeout_us + 1 (sessions are separated by > timeout of
+         silence) — INDEPENDENT of the shard's event rate.
+      2. light pass grouped by user_id over fragments only: sort by start,
+         merge consecutive fragments whose boundary gap is <= timeout
+         (a session spanning k day shards is a k-fragment chain).  Group
+         size is bounded by #days x (shard_us/timeout_us + 1).
+    Both kernels are numpy (sort + flatnonzero + reduceat); exact integer
+    microseconds end to end, so the SQL window-function twin hash-matches.
+    """
+    import ray.data as rd
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ts_us = batch["ts"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        return pa.table({
+            "user_id": _i64(batch["user_id"].to_numpy(zero_copy_only=False)),
+            "ts_us": _i64(ts_us),
+            "day": _i64(ts_us // shard_us),
+        })
+
+    prepped = ev.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+
+    def frags(g: pd.DataFrame) -> pd.DataFrame:
+        t = np.sort(g["ts_us"].to_numpy(np.int64))
+        new = np.empty(len(t), dtype=bool)
+        new[0] = True
+        new[1:] = (t[1:] - t[:-1]) > timeout_us
+        starts = np.flatnonzero(new)
+        bounds = np.append(starts, len(t))
+        return pd.DataFrame({
+            "user_id": np.full(len(starts), g["user_id"].iat[0], dtype=np.int64),
+            "f_start": t[starts],
+            "f_end": t[bounds[1:] - 1],
+            "n": np.diff(bounds),
+        })
+
+    fr = prepped.groupby(["user_id", "day"]).map_groups(
+        frags, batch_format="pandas")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("f_start")
+        s = g["f_start"].to_numpy(np.int64)
+        e = g["f_end"].to_numpy(np.int64)
+        n = g["n"].to_numpy(np.int64)
+        new = np.empty(len(s), dtype=bool)
+        new[0] = True
+        new[1:] = (s[1:] - e[:-1]) > timeout_us
+        starts = np.flatnonzero(new)
+        return pd.DataFrame({
+            "user_id": np.full(len(starts), g["user_id"].iat[0], dtype=np.int64),
+            "session_id": np.arange(1, len(starts) + 1, dtype=np.int64),
+            "session_start_us": s[starts],
+            "session_end_us": np.maximum.reduceat(e, starts),
+            "n_events": np.add.reduceat(n, starts),
+        })
+
+    return fr.groupby("user_id").map_groups(merge, batch_format="pandas")
+
+
+# The twin orders window frames by (ts, event_id) so cumulative-sum session
+# numbering is deterministic under duplicate timestamps (the Ray kernel is
+# tie-order free by construction: membership, min, max and count do not
+# depend on the order of equal timestamps).
+SESSIONIZE_SQL = f"""
+WITH o AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {SESSION_TIMEOUT_US}
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(sid AS BIGINT) AS session_id,
+       CAST(epoch_us(MIN(ts)) AS BIGINT) AS session_start_us,
+       CAST(epoch_us(MAX(ts)) AS BIGINT) AS session_end_us,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM s GROUP BY user_id, sid
+"""
+
+
+# ---------------------------------------------------------------------------
 # Images over embeddings-as-frames (vec -> 8x8 frame of 1e6-scaled ints):
 # thunder Images ops + the toseries transpose shuffle, bit-exact oracles.
 
@@ -559,6 +669,7 @@ def build_queries4() -> dict:
         "rolling_mean_1m": rolling_mean_1m,
         "retention_1m": retention_1m,
         "asof_join_events_1m": asof_join_events_1m,
+        "sessionize_events": sessionize_events,
         "images_max_projection_embeddings": images_max_projection_embeddings,
         "images_toseries_stats": images_toseries_stats,
         "images_roundtrip_embeddings": images_roundtrip_embeddings,
@@ -580,6 +691,7 @@ SELECT source, bucket, count, sum, min, max, mean, m2 FROM (
         "rolling_mean_1m": _rolling_mean_sql(),
         "retention_1m": retention_sql,
         "asof_join_events_1m": ASOF_JOIN_SQL,
+        "sessionize_events": SESSIONIZE_SQL,
         "images_max_projection_embeddings": IMAGES_MAX_PROJ_SQL,
         "images_toseries_stats": IMAGES_TOSERIES_SQL,
         "images_roundtrip_embeddings": IMAGES_ROUNDTRIP_SQL,
