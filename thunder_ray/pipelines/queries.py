@@ -755,6 +755,7 @@ def build_queries() -> dict:
     from .queries2 import build_queries2
     from .queries3 import build_queries3
     from .queries4 import build_queries4
+    from .queries5 import build_queries5
     from .textops import build_textops_queries
 
     return {
@@ -762,6 +763,7 @@ def build_queries() -> dict:
         **build_queries2(),
         **build_queries3(),
         **build_queries4(),
+        **build_queries5(),
         **build_textops_queries(),
         **build_dedup_queries(),
         **build_ann_queries(),
@@ -796,6 +798,7 @@ def build_oracle_sql() -> dict:
     from .queries2 import build_oracle_sql2
     from .queries3 import build_oracle_sql3
     from .queries4 import build_oracle_sql4
+    from .queries5 import build_oracle_sql5
     from .textops import build_textops_sql
 
     return {
@@ -803,6 +806,7 @@ def build_oracle_sql() -> dict:
         **build_oracle_sql2(),
         **build_oracle_sql3(),
         **build_oracle_sql4(),
+        **build_oracle_sql5(),
         **build_textops_sql(),
         **build_dedup_sql(),
         **build_ann_sql(),
