@@ -41,6 +41,53 @@ def test_quantile_recursion_path(ray_session, sorted_values, monkeypatch):
         assert got == sorted_values[rank], (rank, got)
 
 
+def test_sessionize_exact_under_adversarial_batching(ray_session, tmp_path):
+    """Shuffled row order + batch_size=5 makes same-user fragments from
+    different batches overlap and interleave in time — the running-max
+    chain-merge lemma must still give exact sessions."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pqw
+
+    from thunder_ray.pipelines.queries4 import sessionize_events
+
+    rng = np.random.default_rng(11)
+    timeout = 1000
+    rows = []
+    for uid in range(1, 8):
+        t = 0
+        for _ in range(rng.integers(5, 40)):
+            t += int(rng.integers(1, 3 * timeout))
+            rows.append((uid, t))
+    rng.shuffle(rows)
+    uid = np.array([r[0] for r in rows], dtype=np.int64)
+    ts = np.array([r[1] for r in rows], dtype="datetime64[us]")
+    pqw.write_table(pa.table({"user_id": uid, "ts": pa.array(ts)}),
+                    str(tmp_path / "events.parquet"))
+
+    got = sessionize_events(str(tmp_path), timeout_us=timeout,
+                            batch_size=5).to_pandas()
+    got = got.sort_values(["user_id", "session_id"]).reset_index(drop=True)
+
+    want_rows = []
+    df = pd.DataFrame({"user_id": uid, "t": ts.astype(np.int64)})
+    for u, g in df.groupby("user_id"):
+        t = np.sort(g["t"].to_numpy())
+        new = np.empty(len(t), dtype=bool)
+        new[0] = True
+        new[1:] = (t[1:] - t[:-1]) > timeout
+        starts = np.flatnonzero(new)
+        bounds = np.append(starts, len(t))
+        for i, s in enumerate(starts):
+            want_rows.append((u, i + 1, t[s], t[bounds[i + 1] - 1],
+                              bounds[i + 1] - s))
+    want = pd.DataFrame(want_rows, columns=[
+        "user_id", "session_id", "session_start_us", "session_end_us",
+        "n_events"])
+    pd.testing.assert_frame_equal(got[want.columns].astype(np.int64),
+                                  want.astype(np.int64))
+
+
 def test_ordered_u64_is_order_preserving():
     rng = np.random.default_rng(7)
     v = np.concatenate([rng.normal(size=500) * 10.0 ** rng.integers(-3, 3, 500),

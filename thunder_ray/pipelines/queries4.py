@@ -349,80 +349,118 @@ FROM ev ASOF JOIN t
 # groupby().map_groups composition)
 
 SESSION_TIMEOUT_US = 30 * 60 * 1_000_000        # 30-minute inactivity gap
-SESSION_SHARD_US = 24 * 3600 * 1_000_000        # day shards for the heavy pass
 
 
 def sessionize_events(sf_dir: str, timeout_us: int = SESSION_TIMEOUT_US,
-                      shard_us: int = SESSION_SHARD_US):
+                      batch_size: int | None = None):
     """Per-user sessions: consecutive events whose inter-event gap is
     <= timeout; a strictly larger gap starts a new session.  Output one row
     per (user_id, session): 1-based session_id in start order, start/end as
     int64 epoch-us, event count.
 
-    Two-pass sharded plan (NO whole-user-history group in the heavy pass —
-    the gap_fill/rolling lesson from VERDICT r1 #9 applied up front):
-      1. heavy pass over raw events grouped by (user_id, day): sort the
-         shard's timestamps, split at gaps > timeout, emit session
-         FRAGMENTS (start, end, n).  Fragments per shard are bounded by
-         shard_us/timeout_us + 1 (sessions are separated by > timeout of
-         silence) — INDEPENDENT of the shard's event rate.
-      2. light pass grouped by user_id over fragments only: sort by start,
-         merge consecutive fragments whose boundary gap is <= timeout
-         (a session spanning k day shards is a k-fragment chain).  Group
-         size is bounded by #days x (shard_us/timeout_us + 1).
-    Both kernels are numpy (sort + flatnonzero + reduceat); exact integer
-    microseconds end to end, so the SQL window-function twin hash-matches.
+    Combiner-first plan — the raw event stream is NEVER shuffled:
+      1. pre-fragment INSIDE ``map_batches``: lexsort the batch by
+         (user, ts), split at user changes and gaps > timeout, emit session
+         FRAGMENTS (user_id, f_start, f_end, n).  One segmented numpy pass;
+         output is ~#sessions-touched-per-batch rows, so the only shuffle
+         in the pipeline moves fragments, not events.
+      2. one hash-partitioned merge over fragments (``groupby(part)`` with
+         ``part = user_id % nparts``, a segmented kernel per partition):
+         lexsort by (user, f_start), chain-merge where
+         ``s[i] - running_max(e[:i]) <= timeout`` within each user run.
+
+    Exactness under ARBITRARY batch splits (fragments of one user from
+    different batches may overlap in time): sessions are the connected
+    components of the "within timeout" graph on points.  (i) hull gap
+    <= timeout => the two extreme points themselves link; (ii) hull gap
+    > timeout vs the running-max end => every earlier point sits <= that
+    end, so no pair links; (iii) overlapping hulls always link, because a
+    point inside another fragment's hull lies between two of its
+    consecutive points, which are <= timeout apart — so it is within
+    timeout/2 of one of them.  Hence running-max chain-merge = exact
+    components.  (The previous (user, day)-sharded two-shuffle plan was
+    exact too, but 40k tiny pandas groups at sf0.1 cost 8s of per-group
+    overhead; per-user groups are 1.5k.)
+
+    Scale bound: fragments per (user, batch) <= batch_time_span/timeout + 1
+    when storage is roughly time-ordered (true for log-structured event
+    tables); the per-user merge group is #batches-touching-user fragments —
+    for a pathological always-on user, re-shard the merge by (user, day)
+    with the same running-max kernel (exact per the lemma above).
+    Both kernels are numpy (lexsort + flatnonzero + reduceat); exact
+    integer microseconds end to end, so the SQL window-function twin
+    hash-matches.
     """
     import ray.data as rd
 
     ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
 
-    def prep(batch: pa.Table) -> pa.Table:
+    def prefrag(batch: pa.Table) -> pa.Table:
         ts_us = batch["ts"].to_numpy(zero_copy_only=False).astype(
             "datetime64[us]").astype(np.int64)
-        return pa.table({
-            "user_id": _i64(batch["user_id"].to_numpy(zero_copy_only=False)),
-            "ts_us": _i64(ts_us),
-            "day": _i64(ts_us // shard_us),
-        })
-
-    prepped = ev.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
-
-    def frags(g: pd.DataFrame) -> pd.DataFrame:
-        t = np.sort(g["ts_us"].to_numpy(np.int64))
+        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ts_us, uid))
+        u, t = uid[order], ts_us[order]
         new = np.empty(len(t), dtype=bool)
         new[0] = True
-        new[1:] = (t[1:] - t[:-1]) > timeout_us
+        new[1:] = (u[1:] != u[:-1]) | ((t[1:] - t[:-1]) > timeout_us)
         starts = np.flatnonzero(new)
         bounds = np.append(starts, len(t))
-        return pd.DataFrame({
-            "user_id": np.full(len(starts), g["user_id"].iat[0], dtype=np.int64),
-            "f_start": t[starts],
-            "f_end": t[bounds[1:] - 1],
-            "n": np.diff(bounds),
+        return pa.table({
+            "user_id": _i64(u[starts]),
+            "f_start": _i64(t[starts]),
+            "f_end": _i64(t[bounds[1:] - 1]),
+            "n": _i64(np.diff(bounds)),
         })
 
-    fr = prepped.groupby(["user_id", "day"]).map_groups(
-        frags, batch_format="pandas")
+    # batch_size is a test hook: tiny batches force maximal fragment
+    # overlap/interleave across batches to exercise the merge lemma
+    fr = ev.map_batches(prefrag, batch_format="pyarrow", zero_copy_batch=True,
+                        **({"batch_size": batch_size} if batch_size else {}))
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("f_start")
-        s = g["f_start"].to_numpy(np.int64)
-        e = g["f_end"].to_numpy(np.int64)
-        n = g["n"].to_numpy(np.int64)
+    # merge is sharded by HASH PARTITION, not by user: one vectorized
+    # segmented kernel per partition (lexsort + per-user cummax + reduceat)
+    # instead of one pandas call per user — per-group map_groups overhead
+    # was 11.6s of the 100k-event run's CPU, the segmented kernel is <0.5s.
+    from ..util import fanin_partitions
+
+    nparts = fanin_partitions()
+
+    def part(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "part", _i64(batch["user_id"].to_numpy(zero_copy_only=False)
+                         % nparts))
+
+    def merge_part(g: pd.DataFrame) -> pd.DataFrame:
+        u0 = g["user_id"].to_numpy(np.int64)
+        s0 = g["f_start"].to_numpy(np.int64)
+        order = np.lexsort((s0, u0))
+        u, s = u0[order], s0[order]
+        e = g["f_end"].to_numpy(np.int64)[order]
+        n = g["n"].to_numpy(np.int64)[order]
+        # per-user running max of f_end (order-preserving pandas cummax)
+        rme = pd.Series(e).groupby(u).cummax().to_numpy(np.int64)
         new = np.empty(len(s), dtype=bool)
         new[0] = True
-        new[1:] = (s[1:] - e[:-1]) > timeout_us
+        new[1:] = (u[1:] != u[:-1]) | ((s[1:] - rme[:-1]) > timeout_us)
         starts = np.flatnonzero(new)
+        us = u[starts]
+        newu = np.empty(len(us), dtype=bool)
+        newu[0] = True
+        newu[1:] = us[1:] != us[:-1]
+        firsts = np.flatnonzero(newu)
+        cnts = np.diff(np.append(firsts, len(us)))
+        sid = np.arange(len(us), dtype=np.int64) - np.repeat(firsts, cnts) + 1
         return pd.DataFrame({
-            "user_id": np.full(len(starts), g["user_id"].iat[0], dtype=np.int64),
-            "session_id": np.arange(1, len(starts) + 1, dtype=np.int64),
+            "user_id": us,
+            "session_id": sid,
             "session_start_us": s[starts],
             "session_end_us": np.maximum.reduceat(e, starts),
             "n_events": np.add.reduceat(n, starts),
         })
 
-    return fr.groupby("user_id").map_groups(merge, batch_format="pandas")
+    return fr.map_batches(part, batch_format="pyarrow").groupby(
+        "part").map_groups(merge_part, batch_format="pandas")
 
 
 # The twin orders window frames by (ts, event_id) so cumulative-sum session
