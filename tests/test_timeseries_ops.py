@@ -94,3 +94,121 @@ def test_ordered_u64_is_order_preserving():
                         [0.0, -0.0, 1e-300, -1e-300, 1e300, -1e300]])
     o = q5._ordered_u64(v)
     assert np.array_equal(np.sort(v), v[np.argsort(o, kind="stable")])
+
+
+# ---------------------------------------------------------------------------
+# queries6: counter increase / heatmap / dyadic EWMA edge branches
+
+
+def _write_events(tmp_path, ts_us, event_type, value, event_id=None):
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pqw
+
+    n = len(ts_us)
+    if event_id is None:
+        event_id = np.arange(n, dtype=np.int64)
+    pqw.write_table(pa.table({
+        "event_id": pa.array(np.asarray(event_id, dtype=np.int64)),
+        "ts": pa.array(np.asarray(ts_us, dtype="datetime64[us]")),
+        "event_type": pa.array(list(event_type), type=pa.string()),
+        "value": pa.array(np.asarray(value, dtype=np.float64)),
+    }), str(tmp_path / "events.parquet"))
+
+
+def _counter_oracle(ts_us, et, value, eid):
+    """Straight-line LAG-diff oracle on scaled ints."""
+    import pandas as pd
+
+    df = pd.DataFrame({
+        "et": et, "ts": np.asarray(ts_us, np.int64),
+        "eid": np.asarray(eid, np.int64),
+        "sv": np.floor(np.asarray(value) * 1e6).astype(np.int64),
+    }).sort_values(["et", "ts", "eid"]).reset_index(drop=True)
+    prev = df.groupby("et")["sv"].shift(1)
+    inc = np.where(prev.isna(), 0,
+                   np.where(df["sv"] >= prev, df["sv"] - prev.fillna(0),
+                            df["sv"])).astype(np.int64)
+    df["bucket"] = df["ts"] // 1_000_000 // 3600
+    df["inc"] = inc
+    out = df.groupby(["et", "bucket"]).agg(
+        increase_scaled=("inc", "sum"), n=("inc", "size")).reset_index()
+    return out.rename(columns={"et": "event_type"})
+
+
+def test_counter_increase_carry_hops_day_gaps(ray_session, tmp_path):
+    """A key sampled on day 0 and day 5 only: the day-5 shard's carry must
+    come from day 0 (previous EXISTING day), not day 4; resets (value drop)
+    inside and across shards; duplicate timestamps tie-broken by event_id."""
+    import pandas as pd
+
+    from thunder_ray.pipelines.queries6 import counter_increase_1h
+
+    day = 86_400_000_000
+    ts, et, val, eid = [], [], [], []
+    # key A: day 0 rising, then day 5 continues higher, then resets
+    for t, v in [(100, 1.0), (3600_000_100, 2.5), (5 * day, 9.0),
+                 (5 * day + 10, 0.5), (5 * day + 20, 1.5)]:
+        ts.append(t), et.append("A"), val.append(v), eid.append(len(eid))
+    # key B: duplicate timestamps, order decided by event_id; reset at eid 7
+    for t, v in [(50, 10.0), (50, 11.0), (50, 3.0), (7200_000_000, 4.0)]:
+        ts.append(t), et.append("B"), val.append(v), eid.append(len(eid))
+    _write_events(tmp_path, ts, et, val, eid)
+
+    got = counter_increase_1h(str(tmp_path)).to_pandas().sort_values(
+        ["event_type", "bucket"]).reset_index(drop=True)
+    want = _counter_oracle(ts, et, val, eid).sort_values(
+        ["event_type", "bucket"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["event_type", "bucket", "increase_scaled", "n"]],
+        want[["event_type", "bucket", "increase_scaled", "n"]],
+        check_dtype=False)
+
+
+def test_heatmap_negative_value_bins(ray_session, tmp_path):
+    """Negative values exercise the signed vbin pack (offset encoding)."""
+    import pandas as pd
+
+    from thunder_ray.pipelines.queries6 import heatmap_events
+
+    rng = np.random.default_rng(3)
+    n = 1000
+    ts = rng.integers(0, 10 * 3600, n) * 1_000_000
+    val = rng.normal(0.0, 60.0, n)
+    _write_events(tmp_path, ts, ["x"] * n, val)
+
+    got = heatmap_events(str(tmp_path)).to_pandas().sort_values(
+        ["bucket", "vbin"]).reset_index(drop=True)
+    df = pd.DataFrame({"bucket": ts // 1_000_000 // 3600,
+                       "vbin": np.floor(val / 25.0).astype(np.int64)})
+    want = df.groupby(["bucket", "vbin"]).size().rename("cnt").reset_index()
+    want = want.sort_values(["bucket", "vbin"]).reset_index(drop=True)
+    assert (got["vbin"] < 0).any(), "fixture must produce negative bins"
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_ewma_horizon_truncation(ray_session, tmp_path):
+    """Docs longer than the horizon: only the last `horizon` tokens
+    contribute; short docs use all tokens.  Oracle = explicit term sum."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pqw
+
+    from thunder_ray.pipelines.queries6 import EWMA_HORIZON, ewma_tokens
+
+    texts = ["a bb ccc", " ".join("w" * ((i % 7) + 1) for i in range(100)),
+             "", "dddd"]
+    pqw.write_table(pa.table({
+        "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+        "text": pa.array(texts, type=pa.string()),
+        "source": pa.array(["s"] * len(texts), type=pa.string()),
+    }), str(tmp_path / "documents.parquet"))
+
+    got = ewma_tokens(str(tmp_path)).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    for i, text in enumerate(texts):
+        toks = [len(w) for w in text.split(" ")]
+        m = min(len(toks), EWMA_HORIZON)
+        want = sum(toks[-1 - k] * 2.0 ** -(k + 1) for k in range(m))
+        assert got.loc[i, "n_used"] == m
+        assert got.loc[i, "ewma"] == want, (i, got.loc[i, "ewma"], want)

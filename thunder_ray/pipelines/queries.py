@@ -756,6 +756,7 @@ def build_queries() -> dict:
     from .queries3 import build_queries3
     from .queries4 import build_queries4
     from .queries5 import build_queries5
+    from .queries6 import build_queries6
     from .textops import build_textops_queries
 
     return {
@@ -764,6 +765,7 @@ def build_queries() -> dict:
         **build_queries3(),
         **build_queries4(),
         **build_queries5(),
+        **build_queries6(),
         **build_textops_queries(),
         **build_dedup_queries(),
         **build_ann_queries(),
@@ -799,6 +801,7 @@ def build_oracle_sql() -> dict:
     from .queries3 import build_oracle_sql3
     from .queries4 import build_oracle_sql4
     from .queries5 import build_oracle_sql5
+    from .queries6 import build_oracle_sql6
     from .textops import build_textops_sql
 
     return {
@@ -807,6 +810,7 @@ def build_oracle_sql() -> dict:
         **build_oracle_sql3(),
         **build_oracle_sql4(),
         **build_oracle_sql5(),
+        **build_oracle_sql6(),
         **build_textops_sql(),
         **build_dedup_sql(),
         **build_ann_sql(),

