@@ -212,3 +212,37 @@ def test_ewma_horizon_truncation(ray_session, tmp_path):
         want = sum(toks[-1 - k] * 2.0 ** -(k + 1) for k in range(m))
         assert got.loc[i, "n_used"] == m
         assert got.loc[i, "ewma"] == want, (i, got.loc[i, "ewma"], want)
+
+
+def test_m4_exact_under_adversarial_batching(ray_session, tmp_path):
+    """batch_size=7 over shuffled rows: every pixel cell's rows land in many
+    batches, so first/last/min/max candidates must merge exactly; duplicate
+    timestamps tie-broken by event_id on both sides."""
+    import pandas as pd
+
+    from thunder_ray.pipelines.queries6 import m4_downsample_events
+
+    rng = np.random.default_rng(5)
+    n = 500
+    ts = rng.integers(0, 3 * 600, n) * 1_000_000  # 3 pixel buckets, many ties
+    et = rng.choice(["a", "b"], n)
+    val = rng.uniform(-50, 50, n)
+    eid = rng.permutation(n)
+    _write_events(tmp_path, ts, et, val, eid)
+
+    got = m4_downsample_events(str(tmp_path), batch_size=7).to_pandas()
+    got = got.sort_values(["event_type", "bucket"]).reset_index(drop=True)
+
+    df = pd.DataFrame({"et": et, "ts": np.asarray(ts, np.int64), "eid": eid,
+                       "sv": np.floor(val * 1e6).astype(np.int64)})
+    df["bucket"] = df["ts"] // 1_000_000 // 600
+    df = df.sort_values(["et", "bucket", "ts", "eid"])
+    want = df.groupby(["et", "bucket"]).agg(
+        first_sv=("sv", "first"), last_sv=("sv", "last"),
+        min_sv=("sv", "min"), max_sv=("sv", "max")).reset_index().rename(
+        columns={"et": "event_type"})
+    pd.testing.assert_frame_equal(
+        got[["event_type", "bucket", "first_sv", "last_sv", "min_sv",
+             "max_sv"]].astype({"bucket": np.int64}),
+        want[["event_type", "bucket", "first_sv", "last_sv", "min_sv",
+              "max_sv"]].astype({"bucket": np.int64}), check_dtype=False)

@@ -267,12 +267,190 @@ GROUP BY doc_id, n
 
 
 # ---------------------------------------------------------------------------
+# M4 visualization downsampling (first/last/min/max per pixel bucket)
+
+M4_PIXEL_S = 600
+
+
+def m4_downsample_events(sf_dir: str, pixel_s: int = M4_PIXEL_S,
+                         batch_size: int | None = None):
+    """M4 aggregation (Jugel et al., VLDB 2014): per (event_type, pixel
+    bucket) keep first/last/min/max — the lossless reduction for rendering
+    a line chart at pixel resolution.  first/last are the values at the
+    lexicographic (ts, event_id) extremes, so ties are deterministic.
+
+    Plan: batch-local segmented combiner emits ONE candidate row per cell
+    per batch (first/last candidates + min/max), then a hash-sharded
+    segmented merge — the same two-level shape as sessionize, so the
+    shuffle moves O(cells x batches) candidate rows, never raw events, and
+    the merge is one numpy kernel per partition instead of one pandas call
+    per cell."""
+    import ray.data as rd
+
+    from ..util import fanin_partitions
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = _col(batch, "ts").astype("datetime64[us]").astype(np.int64)
+        eid = _col(batch, "event_id").astype(np.int64)
+        sv = np.floor(_col(batch, "value") * SCALE).astype(np.int64)
+        et = _col(batch, "event_type")
+        bucket = ts // 1_000_000 // pixel_s
+        u, code = np.unique(et, return_inverse=True)
+        cell = (code.astype(np.int64) << 40) | bucket
+        o = np.lexsort((eid, ts, cell))
+        c = cell[o]
+        new = np.empty(len(c), dtype=bool)
+        new[0] = True
+        new[1:] = c[1:] != c[:-1]
+        starts = np.flatnonzero(new)
+        bounds = np.append(starts, len(c))
+        fi, li = o[starts], o[bounds[1:] - 1]
+        svo = sv[o]
+        return pa.table({
+            "event_type": pa.array(et[fi]),
+            "bucket": _i64(bucket[fi]),
+            "f_ts": _i64(ts[fi]), "f_eid": _i64(eid[fi]), "f_sv": _i64(sv[fi]),
+            "l_ts": _i64(ts[li]), "l_eid": _i64(eid[li]), "l_sv": _i64(sv[li]),
+            "mn": _i64(np.minimum.reduceat(svo, starts)),
+            "mx": _i64(np.maximum.reduceat(svo, starts)),
+        })
+
+    nparts = fanin_partitions()
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "part", _i64(_col(batch, "bucket") % nparts))
+
+    def merge_part(g: pd.DataFrame) -> pd.DataFrame:
+        et = g["event_type"].to_numpy()
+        u, code = np.unique(et, return_inverse=True)
+        cell = (code.astype(np.int64) << 40) | g["bucket"].to_numpy(np.int64)
+        o1 = np.lexsort((g["f_eid"].to_numpy(np.int64),
+                         g["f_ts"].to_numpy(np.int64), cell))
+        c1 = cell[o1]
+        new = np.empty(len(c1), dtype=bool)
+        new[0] = True
+        new[1:] = c1[1:] != c1[:-1]
+        starts = np.flatnonzero(new)
+        bounds = np.append(starts, len(c1))
+        first_rows = o1[starts]
+        o2 = np.lexsort((g["l_eid"].to_numpy(np.int64),
+                         g["l_ts"].to_numpy(np.int64), cell))
+        last_rows = o2[bounds[1:] - 1]  # same cell runs: o2 sorts by cell too
+        return pd.DataFrame({
+            "event_type": et[first_rows],
+            "bucket": g["bucket"].to_numpy(np.int64)[first_rows],
+            "first_sv": g["f_sv"].to_numpy(np.int64)[first_rows],
+            "last_sv": g["l_sv"].to_numpy(np.int64)[last_rows],
+            "min_sv": np.minimum.reduceat(
+                g["mn"].to_numpy(np.int64)[o1], starts),
+            "max_sv": np.maximum.reduceat(
+                g["mx"].to_numpy(np.int64)[o1], starts),
+        })
+
+    # batch_size is a test hook: tiny batches split every cell's rows
+    # across many batches to exercise the candidate merge
+    return ev.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True,
+                          **({"batch_size": batch_size} if batch_size else {})
+                          ).map_batches(
+        tag, batch_format="pyarrow").groupby("part").map_groups(
+        merge_part, batch_format="pandas")
+
+
+M4_DOWNSAMPLE_SQL = f"""
+WITH s AS (
+  SELECT event_type, epoch_us(ts) AS ts_us, event_id,
+         CAST(floor(value * 1000000) AS BIGINT) AS sv,
+         (epoch_us(ts) // 1000000) // {M4_PIXEL_S} AS bucket
+  FROM events
+), r AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY event_type, bucket
+                            ORDER BY ts_us, event_id) AS rf,
+         ROW_NUMBER() OVER (PARTITION BY event_type, bucket
+                            ORDER BY ts_us DESC, event_id DESC) AS rl
+  FROM s
+)
+SELECT event_type, CAST(bucket AS BIGINT) AS bucket,
+       CAST(MAX(CASE WHEN rf = 1 THEN sv END) AS BIGINT) AS first_sv,
+       CAST(MAX(CASE WHEN rl = 1 THEN sv END) AS BIGINT) AS last_sv,
+       CAST(MIN(sv) AS BIGINT) AS min_sv,
+       CAST(MAX(sv) AS BIGINT) AS max_sv
+FROM r
+GROUP BY event_type, bucket
+"""
+
+
+# ---------------------------------------------------------------------------
+# Tier-level spike detection (bucket-over-bucket mean jump)
+
+SPIKE_K = 0.25
+
+
+def spike_detect_1m(sf_dir: str, k: float = SPIKE_K):
+    """Flag 1m buckets whose mean jumps more than k x the PREVIOUS bucket's
+    sigma (sqrt(m2/count)) within each source — bucket-over-bucket
+    changepoint flagging on the cached 1m tier (rolled-point scale, 1e-4 of
+    the raw stream; the tier itself is the hash-matched artifact, and the
+    flag expression is one fixed IEEE comparison on its columns, so the
+    flag set is bit-deterministic)."""
+    from .queries import rollup_documents_full
+
+    tier = rollup_documents_full(sf_dir, 60)
+
+    def per_source(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("bucket")
+        mean = g["mean"].to_numpy(np.float64)
+        m2 = g["m2"].to_numpy(np.float64)
+        cnt = g["count"].to_numpy(np.float64)
+        flag = np.zeros(len(g), dtype=bool)
+        flag[1:] = np.abs(mean[1:] - mean[:-1]) > k * np.sqrt(
+            m2[:-1] / cnt[:-1])
+        prev_mean = np.empty_like(mean)
+        prev_mean[1:] = mean[:-1]
+        return pd.DataFrame({
+            "source": g["source"].to_numpy()[flag],
+            "bucket": g["bucket"].to_numpy(np.int64)[flag],
+            "mean": mean[flag],
+            "prev_mean": prev_mean[flag],
+        })
+
+    return tier.groupby("source").map_groups(per_source,
+                                             batch_format="pandas")
+
+
+def _spike_sql() -> str:
+    from .queries import _rollup_sql
+
+    return f"""
+WITH t AS ({_rollup_sql(60)}),
+l AS (
+  SELECT source, bucket, mean,
+         LAG(mean)  OVER (PARTITION BY source ORDER BY bucket) AS prev_mean,
+         LAG(m2)    OVER (PARTITION BY source ORDER BY bucket) AS prev_m2,
+         LAG(count) OVER (PARTITION BY source ORDER BY bucket) AS prev_count
+  FROM t
+)
+SELECT source, CAST(bucket AS BIGINT) AS bucket, mean, prev_mean
+FROM l
+WHERE prev_mean IS NOT NULL
+  AND ABS(mean - prev_mean) > {SPIKE_K} * sqrt(prev_m2 / prev_count)
+"""
+
+
+# ---------------------------------------------------------------------------
 
 def build_queries6() -> dict:
     return {
         "counter_increase_1h": counter_increase_1h,
         "heatmap_events": heatmap_events,
         "ewma_tokens": ewma_tokens,
+        "m4_downsample_events": m4_downsample_events,
+        "spike_detect_1m": spike_detect_1m,
     }
 
 
@@ -281,4 +459,6 @@ def build_oracle_sql6() -> dict:
         "counter_increase_1h": COUNTER_INCREASE_SQL,
         "heatmap_events": HEATMAP_EVENTS_SQL,
         "ewma_tokens": EWMA_TOKENS_SQL,
+        "m4_downsample_events": M4_DOWNSAMPLE_SQL,
+        "spike_detect_1m": _spike_sql(),
     }
