@@ -386,6 +386,60 @@ GROUP BY event_type, bucket
 
 
 # ---------------------------------------------------------------------------
+# LOCF gap fill (last observation carried forward)
+
+def gap_fill_locf_1m_events(sf_dir: str, shard: int = 1440):
+    """Missing (event_type, bucket) rows of the events 1m rollup, mean
+    carried forward from the previous present bucket (LOCF) — the step-fill
+    sibling of gap_fill_1m_events, same ONE sharded (key, day)+carry code
+    path in stages/gapfill with ``mode="locf"`` (an exact copy, so the twin
+    is trivially bit-identical)."""
+    from ..stages.gapfill import sharded_fills
+    from .queries2 import _events_rollup
+
+    tier = _events_rollup(sf_dir, 60)
+
+    def mean_view(batch: pa.Table) -> pa.Table:
+        cnt = _col(batch, "count").astype(np.int64)
+        s = _col(batch, "sum_s").astype(np.int64)
+        et = batch["event_type"]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        return pa.table({
+            "event_type": et,
+            "bucket": _i64(_col(batch, "bucket")),
+            "mean": pa.array(s.astype(np.float64) / cnt),
+        })
+
+    means = tier.map_batches(mean_view, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return sharded_fills(means, key_col="event_type", shard=shard,
+                         mode="locf")
+
+
+GAP_FILL_LOCF_SQL = """
+WITH t AS (
+  SELECT event_type, bucket,
+         CAST(SUM(v) AS DOUBLE) / COUNT(*) AS mean
+  FROM (SELECT event_type,
+               (epoch_us(ts) // 1000000) // 60 AS bucket,
+               CAST(floor(value * 1000000) AS BIGINT) AS v
+        FROM events)
+  GROUP BY event_type, bucket
+),
+g AS (
+  SELECT event_type, bucket AS pb,
+         lead(bucket) OVER (PARTITION BY event_type ORDER BY bucket) AS nb,
+         mean AS pm
+  FROM t
+)
+SELECT event_type, CAST(b AS BIGINT) AS bucket, pm AS mean_fill
+FROM (SELECT event_type, pb, nb, pm, unnest(range(pb + 1, nb)) AS b
+      FROM g WHERE nb > pb + 1)
+"""
+
+
+# ---------------------------------------------------------------------------
 # Tier-level spike detection (bucket-over-bucket mean jump)
 
 SPIKE_K = 0.25
@@ -443,6 +497,78 @@ WHERE prev_mean IS NOT NULL
 
 
 # ---------------------------------------------------------------------------
+# Hour-of-day seasonal profile
+
+def seasonal_hod_events(sf_dir: str):
+    """Per (event_type, hour-of-day 0..23): count / scaled sum / mean over
+    the whole retention span — the seasonality profile used to normalize
+    diurnal patterns.  Pure combiner plan (per-batch partial sums over at
+    most keys x 24 cells), exact scaled-int sums, one fixed float division
+    at the end."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = _col(batch, "ts").astype("datetime64[us]").astype(np.int64)
+        hod = (ts // 1_000_000 // 3600) % 24
+        sv = np.floor(_col(batch, "value") * SCALE).astype(np.int64)
+        et = _col(batch, "event_type")
+        u, code = np.unique(et, return_inverse=True)
+        key = (code.astype(np.int64) << 5) | hod
+        o = np.argsort(key, kind="stable")
+        ks = key[o]
+        new = np.empty(len(ks), dtype=bool)
+        new[0] = True
+        new[1:] = ks[1:] != ks[:-1]
+        starts = np.flatnonzero(new)
+        return pa.table({
+            "event_type": pa.array(u[(ks[starts] >> 5).astype(np.int64)]),
+            "hod": _i64(ks[starts] & 31),
+            "cnt": _i64(np.diff(np.append(starts, len(ks)))),
+            "sum_scaled": _i64(np.add.reduceat(sv[o], starts)),
+        })
+
+    agg = ev.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True).groupby(
+        ["event_type", "hod"]).aggregate(
+        Sum("cnt", alias_name="count"),
+        Sum("sum_scaled", alias_name="sum_scaled"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        cnt = _col(batch, "count").astype(np.int64)
+        s = _col(batch, "sum_scaled").astype(np.int64)
+        et = batch["event_type"]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        return pa.table({
+            "event_type": et,
+            "hod": _i64(_col(batch, "hod")),
+            "count": _i64(cnt),
+            "sum_scaled": _i64(s),
+            "mean_scaled": pa.array(s.astype(np.float64) / cnt),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+SEASONAL_HOD_SQL = """
+SELECT event_type, CAST(hod AS BIGINT) AS hod,
+       CAST(COUNT(*) AS BIGINT) AS count,
+       CAST(SUM(sv) AS BIGINT) AS sum_scaled,
+       CAST(SUM(sv) AS DOUBLE) / COUNT(*) AS mean_scaled
+FROM (SELECT event_type,
+             ((epoch_us(ts) // 1000000) // 3600) % 24 AS hod,
+             CAST(floor(value * 1000000) AS BIGINT) AS sv
+      FROM events)
+GROUP BY event_type, hod
+"""
+
+
+# ---------------------------------------------------------------------------
 
 def build_queries6() -> dict:
     return {
@@ -451,6 +577,8 @@ def build_queries6() -> dict:
         "ewma_tokens": ewma_tokens,
         "m4_downsample_events": m4_downsample_events,
         "spike_detect_1m": spike_detect_1m,
+        "gap_fill_locf_1m_events": gap_fill_locf_1m_events,
+        "seasonal_hod_events": seasonal_hod_events,
     }
 
 
@@ -461,4 +589,6 @@ def build_oracle_sql6() -> dict:
         "ewma_tokens": EWMA_TOKENS_SQL,
         "m4_downsample_events": M4_DOWNSAMPLE_SQL,
         "spike_detect_1m": _spike_sql(),
+        "gap_fill_locf_1m_events": GAP_FILL_LOCF_SQL,
+        "seasonal_hod_events": SEASONAL_HOD_SQL,
     }

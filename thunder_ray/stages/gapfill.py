@@ -37,10 +37,16 @@ def _i64(arr) -> pa.Array:
     return pa.array(np.asarray(arr, dtype=np.int64), type=pa.int64())
 
 
-def _pair_fill(key, pb, nb, pm, nm, key_col: str = "source") -> pd.DataFrame:
+def _pair_fill(key, pb, nb, pm, nm, key_col: str = "source",
+               mode: str = "interp") -> pd.DataFrame:
     """Fill rows for consecutive present-bucket pairs — fully vectorized
     over ALL pairs' missing buckets (repeat + intra-arange); elementwise
-    float ops are bit-identical to a per-pair loop."""
+    float ops are bit-identical to a per-pair loop.
+
+    ``mode="interp"`` linearly interpolates between the pair (the
+    detrend-style baseline); ``mode="locf"`` carries the previous bucket's
+    mean forward unchanged (last observation carried forward) — an exact
+    copy, no float arithmetic at all."""
     pb = np.asarray(pb, dtype=np.int64)
     nb = np.asarray(nb, dtype=np.int64)
     pm = np.asarray(pm, dtype=np.float64)
@@ -58,8 +64,11 @@ def _pair_fill(key, pb, nb, pm, nm, key_col: str = "source") -> pd.DataFrame:
     intra = (np.arange(int(gap.sum()), dtype=np.int64)
              - np.repeat(np.cumsum(gap) - gap, gap))
     miss = pb[rep] + 1 + intra
-    mean = pm[rep] + (nm[rep] - pm[rep]) * (
-        (miss - pb[rep]).astype(np.float64) / (nb[rep] - pb[rep]).astype(np.float64))
+    if mode == "locf":
+        mean = pm[rep]
+    else:
+        mean = pm[rep] + (nm[rep] - pm[rep]) * (
+            (miss - pb[rep]).astype(np.float64) / (nb[rep] - pb[rep]).astype(np.float64))
     return pd.DataFrame({
         key_col: key[rep],
         "bucket": miss,
@@ -67,10 +76,12 @@ def _pair_fill(key, pb, nb, pm, nm, key_col: str = "source") -> pd.DataFrame:
     })
 
 
-def sharded_fills(mean_ds, key_col: str = "source", shard: int = 1440):
+def sharded_fills(mean_ds, key_col: str = "source", shard: int = 1440,
+                  mode: str = "interp"):
     """Core sharded fill: Dataset with (key_col, bucket, mean) columns ->
-    Dataset of interpolated rows (key_col, bucket, mean_fill) for every
-    missing bucket between each key's first and last present bucket."""
+    Dataset of filled rows (key_col, bucket, mean_fill) for every missing
+    bucket between each key's first and last present bucket; ``mode`` picks
+    the fill expression (see _pair_fill)."""
 
     def tag(batch: pa.Table) -> pa.Table:
         b = batch["bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -83,7 +94,8 @@ def sharded_fills(mean_ds, key_col: str = "source", shard: int = 1440):
         b = g["bucket"].to_numpy(np.int64)
         m = g["mean"].to_numpy(np.float64)
         key = g[key_col].to_numpy()
-        fills = _pair_fill(key[:-1], b[:-1], b[1:], m[:-1], m[1:], key_col)
+        fills = _pair_fill(key[:-1], b[:-1], b[1:], m[:-1], m[1:], key_col,
+                           mode=mode)
         fills["_kind"] = np.zeros(len(fills), dtype=np.int64)
         edge = [0, len(b) - 1] if len(b) else []
         summary = pd.DataFrame({
@@ -119,7 +131,7 @@ def sharded_fills(mean_ds, key_col: str = "source", shard: int = 1440):
         day = b // shard
         sel = np.flatnonzero(day[1:] != day[:-1])
         return _pair_fill(key[sel], b[sel], b[sel + 1], m[sel], m[sel + 1],
-                          key_col)
+                          key_col, mode=mode)
 
     cross = summaries.groupby(key_col).map_groups(
         boundary, batch_format="pandas").map_batches(
