@@ -141,7 +141,11 @@ def main_default(num_cpus: int, sf_dir: str, sf_label) -> dict:
                              "materialized tier (queries._TIER_CACHE), later "
                              "ones read it from the object store — per-query "
                              "times are suite-order dependent by design "
-                             "(ADVICE r2)")}, f, indent=1)
+                             "(ADVICE r2). Absolute suite wall also varies "
+                             "with the shared VM's DRAM window (BASELINE.md "
+                             "probes swing >2x between windows on identical "
+                             "code); compare per-query times within one run, "
+                             "not across runs")}, f, indent=1)
     return {
         "metric": "rollup pts/s + query suite",
         "value": total,
