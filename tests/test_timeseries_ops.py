@@ -246,3 +246,33 @@ def test_m4_exact_under_adversarial_batching(ray_session, tmp_path):
              "max_sv"]].astype({"bucket": np.int64}),
         want[["event_type", "bucket", "first_sv", "last_sv", "min_sv",
               "max_sv"]].astype({"bucket": np.int64}), check_dtype=False)
+
+
+def test_counter_increase_exact_under_adversarial_batching(ray_session,
+                                                           tmp_path):
+    """Shuffled rows + batch_size=5: each (key, day)'s last-sample
+    candidates come from many batches and the carry map must still pick the
+    true previous-existing-day last sample."""
+    import pandas as pd
+
+    from thunder_ray.pipelines.queries6 import counter_increase_1h
+
+    rng = np.random.default_rng(17)
+    day = 86_400_000_000
+    n = 300
+    ts = (rng.integers(0, 6, n) * day
+          + rng.integers(0, 86_400, n) * 1_000_000)
+    et = rng.choice(["A", "B", "C"], n)
+    val = rng.uniform(0, 100, n)
+    eid = rng.permutation(n)
+    order = rng.permutation(n)
+    _write_events(tmp_path, ts[order], et[order], val[order], eid[order])
+
+    got = counter_increase_1h(str(tmp_path), batch_size=5).to_pandas()
+    got = got.sort_values(["event_type", "bucket"]).reset_index(drop=True)
+    want = _counter_oracle(ts, et, val, eid).sort_values(
+        ["event_type", "bucket"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["event_type", "bucket", "increase_scaled", "n"]],
+        want[["event_type", "bucket", "increase_scaled", "n"]],
+        check_dtype=False)

@@ -58,7 +58,7 @@ def _col(batch: pa.Table, name: str) -> np.ndarray:
 # ---------------------------------------------------------------------------
 # Counter increase with reset handling (Prometheus-style `increase`)
 
-def counter_increase_1h(sf_dir: str):
+def counter_increase_1h(sf_dir: str, batch_size: int | None = None):
     """Per (event_type, 1h bucket): sum of counter increases, treating each
     event_type's value stream (ordered by ts, event_id) as a monotonic
     counter with resets — a negative LAG-diff means the counter reset, and
@@ -81,8 +81,11 @@ def counter_increase_1h(sf_dir: str):
         })
 
     # skinny projection, materialized once, consumed by both passes
+    # (batch_size is a test hook: tiny batches scatter each (key, day)'s
+    # rows across many batches to exercise the candidate/carry merge)
+    bs = {"batch_size": batch_size} if batch_size else {}
     proj = ev.map_batches(project, batch_format="pyarrow",
-                          zero_copy_batch=True).materialize()
+                          zero_copy_batch=True, **bs).materialize()
 
     # -- pass 1: true last sample per (key, day) -> previous-day carry map
     def local_last(batch: pa.Table) -> pa.Table:
@@ -111,7 +114,7 @@ def counter_increase_1h(sf_dir: str):
                         g["ts_us"].to_numpy(np.int64)))
         return g.iloc[[o[-1]]]
 
-    bounds = (proj.map_batches(local_last, batch_format="pyarrow")
+    bounds = (proj.map_batches(local_last, batch_format="pyarrow", **bs)
               .groupby(["event_type", "day"])
               .map_groups(pick_true_last, batch_format="pandas")
               .to_pandas())
