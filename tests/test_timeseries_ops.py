@@ -276,3 +276,32 @@ def test_counter_increase_exact_under_adversarial_batching(ray_session,
         got[["event_type", "bucket", "increase_scaled", "n"]],
         want[["event_type", "bucket", "increase_scaled", "n"]],
         check_dtype=False)
+
+
+def test_ewma_exact_on_sliced_list_batches(ray_session, tmp_path):
+    """batch_size=3 makes Ray slice the tokens list column (absolute
+    offsets, offs[0] > 0) — the kernel's _flat/positions normalization must
+    keep values and ages aligned."""
+    import pyarrow as pa
+    import pyarrow.parquet as pqw
+
+    from thunder_ray.pipelines.queries6 import EWMA_HORIZON, ewma_tokens
+
+    rng = np.random.default_rng(23)
+    texts = [" ".join("w" * int(rng.integers(1, 9))
+                      for _ in range(int(rng.integers(1, 50))))
+             for _ in range(20)]
+    pqw.write_table(pa.table({
+        "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+        "text": pa.array(texts, type=pa.string()),
+        "source": pa.array(["s"] * len(texts), type=pa.string()),
+    }), str(tmp_path / "documents.parquet"))
+
+    got = ewma_tokens(str(tmp_path), batch_size=3).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    for i, text in enumerate(texts):
+        toks = [len(w) for w in text.split(" ")]
+        m = min(len(toks), EWMA_HORIZON)
+        want = sum(toks[-1 - k] * 2.0 ** -(k + 1) for k in range(m))
+        assert got.loc[i, "ewma"] == want, (i, got.loc[i, "ewma"], want)
+        assert got.loc[i, "n_used"] == m

@@ -352,11 +352,13 @@ def _events_rollup(sf_dir: str, tier_seconds: int):
     return _EVENTS_TIER_CACHE[key]
 
 
-def gap_fill_1m_events(sf_dir: str, shard: int = 1440):
+def gap_fill_1m_events(sf_dir: str, shard: int = 1440,
+                       mode: str = "interp"):
     """Missing (event_type, bucket) rows of the events 1m rollup, mean
-    linearly interpolated between neighbouring real buckets — delegates to
-    the ONE sharded (key, day)+carry implementation in stages/gapfill
-    (VERDICT r2 next #6: the stage and the query share this code path)."""
+    linearly interpolated between neighbouring real buckets (or carried
+    forward with ``mode="locf"``) — delegates to the ONE sharded
+    (key, day)+carry implementation in stages/gapfill (VERDICT r2 next #6:
+    the stage and the query share this code path)."""
     from ..stages.gapfill import sharded_fills
 
     tier = _events_rollup(sf_dir, 60)
@@ -375,7 +377,7 @@ def gap_fill_1m_events(sf_dir: str, shard: int = 1440):
 
     means = tier.map_batches(mean_view, batch_format="pyarrow",
                              zero_copy_batch=True)
-    return sharded_fills(means, key_col="event_type", shard=shard)
+    return sharded_fills(means, key_col="event_type", shard=shard, mode=mode)
 
 
 GAP_FILL_EVENTS_SQL = """

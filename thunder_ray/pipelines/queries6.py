@@ -87,36 +87,60 @@ def counter_increase_1h(sf_dir: str, batch_size: int | None = None):
     proj = ev.map_batches(project, batch_format="pyarrow",
                           zero_copy_batch=True, **bs).materialize()
 
-    # -- pass 1: true last sample per (key, day) -> previous-day carry map
-    def local_last(batch: pa.Table) -> pa.Table:
-        et = _col(batch, "event_type")
-        day = _col(batch, "day")
-        ts = _col(batch, "ts_us")
-        eid = _col(batch, "event_id")
+    # -- pass 1: true last sample per (key, day) -> previous-day carry map.
+    # Candidates merge through a hash-sharded segmented lexmax kernel (one
+    # numpy pass per partition), not one pandas call per (key, day) cell —
+    # the same two-level shape as m4/sessionize.
+    def _lexmax_per_cell(et, day, ts, eid):
         u, code = np.unique(et, return_inverse=True)
         key = (code.astype(np.int64) << 32) | day
         order = np.lexsort((eid, ts, key))
         k_sorted = key[order]
         is_last = np.empty(len(k_sorted), dtype=bool)
-        is_last[-1] = True
-        is_last[:-1] = k_sorted[1:] != k_sorted[:-1]
-        keep = order[is_last]
+        if len(k_sorted):
+            is_last[-1] = True
+            is_last[:-1] = k_sorted[1:] != k_sorted[:-1]
+        return order[is_last]
+
+    _EMPTY_CAND = pa.table({
+        "event_type": pa.array([], type=pa.string()),
+        "day": _i64([]), "ts_us": _i64([]), "event_id": _i64([]),
+        "sv": _i64([]),
+    })
+
+    def local_last(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return _EMPTY_CAND
+        et = _col(batch, "event_type")
+        keep = _lexmax_per_cell(et, _col(batch, "day"), _col(batch, "ts_us"),
+                                _col(batch, "event_id"))
         return pa.table({
-            "event_type": pa.array(et[keep]),
-            "day": _i64(day[keep]),
-            "ts_us": _i64(ts[keep]),
-            "event_id": _i64(eid[keep]),
+            "event_type": pa.array(et[keep], type=pa.string()),
+            "day": _i64(_col(batch, "day")[keep]),
+            "ts_us": _i64(_col(batch, "ts_us")[keep]),
+            "event_id": _i64(_col(batch, "event_id")[keep]),
             "sv": _i64(_col(batch, "sv")[keep]),
         })
 
-    def pick_true_last(g: pd.DataFrame) -> pd.DataFrame:
-        o = np.lexsort((g["event_id"].to_numpy(np.int64),
-                        g["ts_us"].to_numpy(np.int64)))
-        return g.iloc[[o[-1]]]
+    from ..util import fanin_partitions
+
+    nparts = fanin_partitions()
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "part", _i64(_col(batch, "day") % nparts))
+
+    def true_last_part(g: pd.DataFrame) -> pd.DataFrame:
+        keep = _lexmax_per_cell(g["event_type"].to_numpy(),
+                                g["day"].to_numpy(np.int64),
+                                g["ts_us"].to_numpy(np.int64),
+                                g["event_id"].to_numpy(np.int64))
+        return g.iloc[keep].drop(columns=["part"])
 
     bounds = (proj.map_batches(local_last, batch_format="pyarrow", **bs)
-              .groupby(["event_type", "day"])
-              .map_groups(pick_true_last, batch_format="pandas")
+              .map_batches(tag, batch_format="pyarrow")
+              .groupby("part")
+              .map_groups(true_last_part, batch_format="pandas")
               .to_pandas())
     bounds = bounds.sort_values(["event_type", "day"])
     prev = bounds.groupby("event_type")["sv"].shift(1)
@@ -192,7 +216,10 @@ def heatmap_events(sf_dir: str, vbin_width: float = HEATMAP_VBIN_WIDTH):
         ts_us = _col(batch, "ts").astype("datetime64[us]").astype(np.int64)
         bucket = ts_us // 1_000_000 // 3600
         vbin = np.floor(_col(batch, "value") / vbin_width).astype(np.int64)
-        assert np.all(np.abs(vbin) < (1 << 20)), "vbin outside pack range"
+        if len(vbin) and int(np.abs(vbin).max()) >= (1 << 20):
+            raise ValueError(
+                "heatmap vbin outside the signed 21-bit pack range "
+                f"(|value| >= {vbin_width * (1 << 20)}); widen vbin_width")
         key = (bucket << 21) | (vbin + (1 << 20))
         kk, cnt = np.unique(key, return_counts=True)
         return pa.table({
@@ -218,7 +245,8 @@ GROUP BY bucket, vbin
 # ---------------------------------------------------------------------------
 # Exact dyadic-weight EWMA over token series
 
-def ewma_tokens(sf_dir: str, horizon: int = EWMA_HORIZON):
+def ewma_tokens(sf_dir: str, horizon: int = EWMA_HORIZON,
+                batch_size: int | None = None):
     """Per doc: truncated EWMA of the token series with alpha = 1/2 —
     ewma = sum_{k=0}^{min(n,horizon)-1} 2^-(k+1) * v[n-1-k].  Dyadic weights
     + the horizon cutoff make every term and partial sum exactly
@@ -230,22 +258,29 @@ def ewma_tokens(sf_dir: str, horizon: int = EWMA_HORIZON):
 
     def kernel(batch: pa.Table) -> pa.Table:
         vals, offs = lk.list_parts(batch["tokens"])
-        lens = lk.lengths(offs).astype(np.int64)
-        ends = np.repeat(offs[1:].astype(np.int64), lens)
-        age = ends - 1 - np.arange(len(vals), dtype=np.int64)
+        # absolute-offset discipline: normalize to (base values, relative
+        # offsets) so sliced list batches (Ray block splits) stay correct
+        base, rel = lk._flat(vals, offs)
+        lens = lk.lengths(rel).astype(np.int64)
+        pos = lk.positions(offs)
+        age = np.repeat(lens, lens) - 1 - pos
         live = age < horizon
         exp = np.where(live, -(age + 1), 0).astype(np.int32)
-        term = np.ldexp(vals.astype(np.float64), exp)
+        term = np.ldexp(base.astype(np.float64), exp)
         term[~live] = 0.0
-        ew = lk._reduceat(np.add, term, offs[:-1].astype(np.int64), lens, 0.0)
+        ew = lk._reduceat(np.add, term, rel[:-1], lens, 0.0)
         return pa.table({
             "doc_id": _i64(_col(batch, "doc_id_int")),
             "n_used": _i64(np.minimum(lens, horizon)),
             "ewma": pa.array(ew, type=pa.float64()),
         })
 
+    # batch_size is a test hook: small batches make Ray hand the kernel
+    # SLICED list batches (non-zero absolute offsets), pinning the
+    # _flat/positions normalization above
     return ds.map_batches(kernel, batch_format="pyarrow",
-                          zero_copy_batch=True)
+                          zero_copy_batch=True,
+                          **({"batch_size": batch_size} if batch_size else {}))
 
 
 EWMA_TOKENS_SQL = f"""
@@ -295,7 +330,15 @@ def m4_downsample_events(sf_dir: str, pixel_s: int = M4_PIXEL_S,
     ev = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["event_id", "ts", "event_type", "value"])
 
+    _EMPTY_M4 = pa.table({
+        "event_type": pa.array([], type=pa.string()),
+        **{c: _i64([]) for c in ("bucket", "f_ts", "f_eid", "f_sv",
+                                 "l_ts", "l_eid", "l_sv", "mn", "mx")},
+    })
+
     def partial(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return _EMPTY_M4
         ts = _col(batch, "ts").astype("datetime64[us]").astype(np.int64)
         eid = _col(batch, "event_id").astype(np.int64)
         sv = np.floor(_col(batch, "value") * SCALE).astype(np.int64)
@@ -394,30 +437,12 @@ GROUP BY event_type, bucket
 def gap_fill_locf_1m_events(sf_dir: str, shard: int = 1440):
     """Missing (event_type, bucket) rows of the events 1m rollup, mean
     carried forward from the previous present bucket (LOCF) — the step-fill
-    sibling of gap_fill_1m_events, same ONE sharded (key, day)+carry code
-    path in stages/gapfill with ``mode="locf"`` (an exact copy, so the twin
-    is trivially bit-identical)."""
-    from ..stages.gapfill import sharded_fills
-    from .queries2 import _events_rollup
+    sibling of gap_fill_1m_events, delegating to the SAME query (and so the
+    same ONE sharded (key, day)+carry stage) with ``mode="locf"``; the fill
+    value is an exact copy, so the twin is trivially bit-identical."""
+    from .queries2 import gap_fill_1m_events
 
-    tier = _events_rollup(sf_dir, 60)
-
-    def mean_view(batch: pa.Table) -> pa.Table:
-        cnt = _col(batch, "count").astype(np.int64)
-        s = _col(batch, "sum_s").astype(np.int64)
-        et = batch["event_type"]
-        if isinstance(et, pa.ChunkedArray):
-            et = et.combine_chunks()
-        return pa.table({
-            "event_type": et,
-            "bucket": _i64(_col(batch, "bucket")),
-            "mean": pa.array(s.astype(np.float64) / cnt),
-        })
-
-    means = tier.map_batches(mean_view, batch_format="pyarrow",
-                             zero_copy_batch=True)
-    return sharded_fills(means, key_col="event_type", shard=shard,
-                         mode="locf")
+    return gap_fill_1m_events(sf_dir, shard=shard, mode="locf")
 
 
 GAP_FILL_LOCF_SQL = """
@@ -514,7 +539,14 @@ def seasonal_hod_events(sf_dir: str):
     ev = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["ts", "event_type", "value"])
 
+    _EMPTY_HOD = pa.table({
+        "event_type": pa.array([], type=pa.string()),
+        "hod": _i64([]), "cnt": _i64([]), "sum_scaled": _i64([]),
+    })
+
     def partial(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return _EMPTY_HOD
         ts = _col(batch, "ts").astype("datetime64[us]").astype(np.int64)
         hod = (ts // 1_000_000 // 3600) % 24
         sv = np.floor(_col(batch, "value") * SCALE).astype(np.int64)
