@@ -305,3 +305,25 @@ def test_ewma_exact_on_sliced_list_batches(ray_session, tmp_path):
         want = sum(toks[-1 - k] * 2.0 ** -(k + 1) for k in range(m))
         assert got.loc[i, "ewma"] == want, (i, got.loc[i, "ewma"], want)
         assert got.loc[i, "n_used"] == m
+
+
+def test_quantile_by_key_recursion_path(ray_session, monkeypatch):
+    """Collect threshold 1 forces every rank into the per-key hot-cell
+    recursion fallback; selection must stay exact vs the numpy sort oracle."""
+    import math
+
+    import pyarrow.parquet as pqr
+
+    monkeypatch.setattr(q5, "QUANTILE_COLLECT_MAX", 1)
+    from thunder_ray.pipelines.queries6 import quantile_by_key_events
+
+    got = quantile_by_key_events(SF_DIR)
+    t = pqr.read_table(f"{SF_DIR}/events.parquet",
+                       columns=["event_type", "value"])
+    et = t["event_type"].to_numpy(zero_copy_only=False)
+    v = t["value"].to_numpy()
+    for _, row in got.iterrows():
+        vals = np.sort(v[et == row["event_type"]])
+        p = {"p50": 0.5, "p90": 0.9, "p99": 0.99}[row["q"]]
+        want = vals[math.ceil(p * len(vals)) - 1]
+        assert row["value"] == want, (row["event_type"], row["q"])

@@ -604,6 +604,144 @@ GROUP BY event_type, hod
 
 
 # ---------------------------------------------------------------------------
+# Per-key exact quantiles (grouped distributed selection, no sort)
+
+def quantile_by_key_events(sf_dir: str, ps=None):
+    """Exact percentile_disc per event_type — the grouped generalization of
+    queries5.quantile_events.  One 12-bit histogram scan covers ALL keys at
+    once (per-batch (key, bin) partial counts -> keyed groupby -> <=
+    keys x 4096 driver rows), then ONE collection scan grabs every
+    rank-containing (key, bin) cell together; the driver picks exact
+    elements from the collected cells.  A pathologically hot cell falls
+    back to queries5's per-rank 12-bit-prefix recursion on a key-filtered
+    view — each level is a streaming scan, never a sort."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .queries5 import (QUANTILE_COLLECT_MAX, QUANTILE_PS, _ordered_u64,
+                           _select_rank)
+
+    if ps is None:
+        ps = QUANTILE_PS
+    import math
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({"event_type": pa.array([], type=pa.string()),
+                             "b": _i64([]), "c": _i64([])})
+        et = _col(batch, "event_type")
+        o = _ordered_u64(_col(batch, "value"))
+        b = ((o >> np.uint64(52)) & np.uint64(0xFFF)).astype(np.int64)
+        u, code = np.unique(et, return_inverse=True)
+        key = (code.astype(np.int64) << 12) | b
+        kk, cnt = np.unique(key, return_counts=True)
+        return pa.table({
+            "event_type": pa.array(u[(kk >> 12).astype(np.int64)],
+                                   type=pa.string()),
+            "b": _i64(kk & 0xFFF),
+            "c": _i64(cnt),
+        })
+
+    hist = (ds.map_batches(hist_partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby(["event_type", "b"])
+            .aggregate(Sum("c", alias_name="c")).to_pandas())
+
+    # walk each key's CDF to the containing bin for every requested rank
+    need: dict[tuple[str, int], list[tuple[str, int]]] = {}
+    recurse: list[tuple[str, str, int]] = []
+    for et, hk in hist.groupby("event_type", sort=True):
+        hk = hk.sort_values("b")
+        bs = hk["b"].to_numpy(np.int64)
+        cs = hk["c"].to_numpy(np.int64)
+        n_k = int(cs.sum())
+        cum = np.concatenate([[0], np.cumsum(cs)])
+        for p in ps:
+            rank = math.ceil(p * n_k) - 1
+            i = int(np.searchsorted(cum, rank, side="right") - 1)
+            if cs[i] <= QUANTILE_COLLECT_MAX:
+                need.setdefault((et, int(bs[i])), []).append(
+                    (f"p{int(p * 100)}", rank - int(cum[i])))
+            else:
+                recurse.append((et, f"p{int(p * 100)}", rank))
+
+    # ONE collection scan for every needed (key, bin) cell
+    rows = []
+    if need:
+        keys = sorted({k for k, _ in need})
+        bins_by_key = {k: np.array(sorted({b for (kk, b) in need if kk == k}),
+                                   dtype=np.int64) for k in keys}
+
+        def grab(batch: pa.Table) -> pa.Table:
+            empty = pa.table({"event_type": pa.array([], type=pa.string()),
+                              "b": _i64([]),
+                              "value": pa.array([], type=pa.float64())})
+            if len(batch) == 0:
+                return empty
+            et = _col(batch, "event_type")
+            v = _col(batch, "value").astype(np.float64)
+            o = _ordered_u64(v)
+            b = ((o >> np.uint64(52)) & np.uint64(0xFFF)).astype(np.int64)
+            m = np.zeros(len(v), dtype=bool)
+            for k, kb in bins_by_key.items():
+                m |= (et == k) & np.isin(b, kb)
+            if not m.any():
+                return empty
+            return pa.table({
+                "event_type": pa.array(et[m], type=pa.string()),
+                "b": _i64(b[m]),
+                "value": pa.array(v[m], type=pa.float64()),
+            })
+
+        got = (ds.map_batches(grab, batch_format="pyarrow",
+                              zero_copy_batch=True).to_pandas())
+        for (et, b), wants in need.items():
+            cell = np.sort(got.loc[(got["event_type"] == et)
+                                   & (got["b"] == b), "value"].to_numpy())
+            for q, off in wants:
+                rows.append((et, q, float(cell[off])))
+
+    # hot-cell fallback: per-rank recursion on a key-filtered view
+    for et, q, rank in recurse:
+        def _only(key):
+            def f(batch: pa.Table) -> pa.Table:
+                m = _col(batch, "event_type") == key
+                return pa.table({"value": pa.array(
+                    _col(batch, "value").astype(np.float64)[m],
+                    type=pa.float64())})
+            return f
+
+        sub = ds.map_batches(_only(et), batch_format="pyarrow",
+                             zero_copy_batch=True)
+        rows.append((et, q, _select_rank(sub, rank)))
+
+    rows.sort()
+    return pd.DataFrame({
+        "event_type": [r[0] for r in rows],
+        "q": [r[1] for r in rows],
+        "value": np.array([r[2] for r in rows], dtype=np.float64),
+    })
+
+
+QUANTILE_BY_KEY_SQL = """
+SELECT event_type, 'p50' AS q,
+       percentile_disc(0.5) WITHIN GROUP (ORDER BY value) AS value
+FROM events GROUP BY event_type
+UNION ALL
+SELECT event_type, 'p90',
+       percentile_disc(0.90) WITHIN GROUP (ORDER BY value)
+FROM events GROUP BY event_type
+UNION ALL
+SELECT event_type, 'p99',
+       percentile_disc(0.99) WITHIN GROUP (ORDER BY value)
+FROM events GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
 
 def build_queries6() -> dict:
     return {
@@ -614,6 +752,7 @@ def build_queries6() -> dict:
         "spike_detect_1m": spike_detect_1m,
         "gap_fill_locf_1m_events": gap_fill_locf_1m_events,
         "seasonal_hod_events": seasonal_hod_events,
+        "quantile_by_key_events": quantile_by_key_events,
     }
 
 
@@ -626,4 +765,5 @@ def build_oracle_sql6() -> dict:
         "spike_detect_1m": _spike_sql(),
         "gap_fill_locf_1m_events": GAP_FILL_LOCF_SQL,
         "seasonal_hod_events": SEASONAL_HOD_SQL,
+        "quantile_by_key_events": QUANTILE_BY_KEY_SQL,
     }
