@@ -342,8 +342,10 @@ def _update_baseline_md(result: dict):
         head = text.rstrip() + "\n\n"
         existing_summary = ""
         tail = f"{_LOG_MARK}\n\n"
-    if not canonical and existing_summary:
-        summary = existing_summary.rstrip() + "\n"
+    if not canonical:
+        # a supplementary window must never replace the canonical summary —
+        # keep the existing one, or drop the summary entirely if none exists
+        summary = existing_summary.rstrip() + "\n" if existing_summary else ""
     text = head + summary + "\n" + tail.rstrip() + "\n\n" + log_entry
     with open(path, "w") as f:
         f.write(text)

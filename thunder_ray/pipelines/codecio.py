@@ -56,7 +56,8 @@ def _roundtrip_query(sf_dir: str, encode, decode):
         ids, cube = _u16_cubes(batch)
         out = np.stack([decode(encode(cube[i])) for i in range(len(ids))]) \
             if len(ids) else cube
-        assert out.dtype == np.uint16
+        if out.dtype != np.uint16:
+            raise ValueError(f"codec round-trip changed dtype: {out.dtype}")
         return _frame_stats(ids, out.reshape(len(ids), 8, 8))
 
     return ds.map_batches(roundtrip, batch_format="pyarrow", zero_copy_batch=True)

@@ -26,7 +26,8 @@ import pandas as pd
 import pyarrow as pa
 import ray
 
-from ..util import derive_parallelism, fanin_partitions, sized_parallelism
+from ..util import (GuardedShard, derive_parallelism, fanin_partitions,
+                    sized_parallelism)
 
 SHINGLE = 3          # words per shingle
 JACCARD_T = 0.35     # pair-report threshold (driver data has mid-J pairs)
@@ -164,23 +165,15 @@ class PairTreeOverflowError(RuntimeError):
     (keyed shuffle, unbounded pair sets)."""
 
 
-class _GuardedCombine:
-    """Wrap a combine callable with a runtime cardinality guard: a level-2
+class _GuardedCombine(GuardedShard):
+    """util.GuardedShard specialized for the pair-combiner tree: a level-2
     shard bounding ~1/fanin of the deduplicated pair set refuses loudly
-    before the single final task can OOM (rollup._GuardedRerollup pattern —
-    a dirty corpus must not silently funnel its pair set into one task)."""
+    (PairTreeOverflowError) before the single final task can OOM — a dirty
+    corpus must not silently funnel its pair set into one task."""
 
     def __init__(self, fn, max_rows: int):
-        self.fn = fn
-        self.max_rows = int(max_rows)
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        out = self.fn(batch)
-        if len(out) > self.max_rows:
-            raise PairTreeOverflowError(
-                f"pair-combiner tree shard holds {len(out)} pairs "
-                f"(> {self.max_rows}); rerun with strategy='groupby'")
-        return out
+        super().__init__(fn, max_rows, what="pair-combiner tree shard",
+                         exc=PairTreeOverflowError)
 
 
 def _pick_pair_strategy(strategy: str, expected_pairs: int | None) -> str:
@@ -324,13 +317,17 @@ NGRAM_MAX_DF = 50
 HOT_GRAM_BROADCAST_MAX = 2_000_000
 
 
-def _rare_shingle_rows(sf_dir: str, max_doc_freq: int):
+def _rare_shingle_rows(sf_dir: str, max_doc_freq: int, sh=None, df=None):
     """Shingle rows restricted to grams whose document frequency is
-    <= max_doc_freq: groupby(gram) df counts, filter, join back."""
+    <= max_doc_freq: groupby(gram) df counts, filter, join back.  Callers
+    holding an already-materialized shared scan pass ``sh``/``df`` so the
+    corpus is not re-scanned (the capped-ngram fallback path)."""
     from ray.data.aggregate import Count
 
-    sh = _shingle_rows(sf_dir)
-    df = sh.groupby("gram").aggregate(Count(alias_name="df"))
+    if sh is None:
+        sh = _shingle_rows(sf_dir)
+    if df is None:
+        df = sh.groupby("gram").aggregate(Count(alias_name="df"))
 
     def keep_rare(batch: pa.Table) -> pa.Table:
         m = batch["df"].to_numpy(zero_copy_only=False) <= max_doc_freq
@@ -438,15 +435,9 @@ def ngram_jaccard_capped_documents(sf_dir: str,
                               zero_copy_batch=True)
     else:
         # guarded fallback: a corpus degenerate enough that even its HOT
-        # grams overflow a broadcast keeps the fully-distributed join plan
-        def keep_rare(batch: pa.Table) -> pa.Table:
-            m = batch["df"].to_numpy(zero_copy_only=False) <= max_doc_freq
-            return pa.table({"gram": _i64(
-                batch["gram"].to_numpy(zero_copy_only=False)[m])})
-
-        rare_grams = df.map_batches(keep_rare, batch_format="pyarrow",
-                                    zero_copy_batch=True).materialize()
-        rare = sh.join(rare_grams, "inner", derive_parallelism(), on=("gram",))
+        # grams overflow a broadcast keeps the fully-distributed join plan,
+        # reusing this query's materialized shared scan (no re-scan)
+        rare = _rare_shingle_rows(sf_dir, max_doc_freq, sh=sh, df=df)
 
     counts = _combine_pair_counts(_gram_join_matches(rare))
 

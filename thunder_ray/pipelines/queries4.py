@@ -399,6 +399,9 @@ def sessionize_events(sf_dir: str, timeout_us: int = SESSION_TIMEOUT_US,
         ts_us = batch["ts"].to_numpy(zero_copy_only=False).astype(
             "datetime64[us]").astype(np.int64)
         uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(uid) == 0:
+            return pa.table({c: _i64([]) for c in
+                             ("user_id", "f_start", "f_end", "n")})
         order = np.lexsort((ts_us, uid))
         u, t = uid[order], ts_us[order]
         new = np.empty(len(t), dtype=bool)

@@ -71,7 +71,11 @@ def topk_event_types_1h(sf_dir: str, k: int = TOPK_K):
         bucket = ts_us // 1_000_000 // 3600
         src = batch["event_type"].to_numpy(zero_copy_only=False)
         uniq, code = np.unique(src, return_inverse=True)
-        key = (code.astype(np.int64) << 40) | (bucket & ((1 << 40) - 1))
+        if len(bucket) and (int(bucket.min()) < 0
+                            or int(bucket.max()) >= (1 << 40)):
+            raise ValueError("hour bucket outside the 40-bit pack range "
+                             "(pre-epoch or far-future timestamp)")
+        key = (code.astype(np.int64) << 40) | bucket
         kk, cnt = np.unique(key, return_counts=True)
         return pa.table({
             "event_type": pa.array(uniq[(kk >> 40).astype(np.int64)]),
@@ -125,12 +129,14 @@ class _FlagOutliers:
         self.usrc, self.key, self.mean, self.thr = ray.get(payload_ref)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        vals, offs = lk.list_parts(batch["tokens"])
-        lens = lk.lengths(offs).astype(np.int64)
+        raw_vals, offs = lk.list_parts(batch["tokens"])
+        # slice-safe: normalize to (base values, relative offsets) so
+        # Ray-sliced list batches (absolute offsets) stay aligned
+        vals, rel = lk._flat(raw_vals, offs)
+        lens = lk.lengths(rel).astype(np.int64)
         t0 = (batch["doc_id_int"].to_numpy(zero_copy_only=False).astype(np.int64)
               % 86400)
-        pos = np.arange(len(vals), dtype=np.int64) - np.repeat(
-            offs[:-1].astype(np.int64), lens)
+        pos = lk.positions(offs)
         t = np.repeat(t0, lens) + pos
         doc_src = batch["source"].to_numpy(zero_copy_only=False)
         # code sources at DOC level (tiny) then fan out — never a Python
@@ -244,11 +250,14 @@ def _collect_bin(ds, shift: int, prefix: int, prefix_bits: int,
 
 
 def _select_rank(ds, rank: int, shift: int = 52, prefix: int = 0,
-                 prefix_bits: int = 0) -> float:
+                 prefix_bits: int = 0, hist: pd.DataFrame | None = None) -> float:
     """Exact 0-based ascending-order rank selection: histogram the current
     12-bit level, walk the CDF to the containing bin, then either collect
-    that bin (typical: one level) or recurse 12 bits deeper (hot bin)."""
-    hist = _histogram(ds, shift, prefix, prefix_bits)
+    that bin (typical: one level) or recurse 12 bits deeper (hot bin).
+    ``hist`` lets callers selecting several ranks share ONE level-1
+    histogram scan instead of re-scanning per rank."""
+    if hist is None:
+        hist = _histogram(ds, shift, prefix, prefix_bits)
     cum = 0
     for b, c in zip(hist["b"].to_numpy(np.int64), hist["c"].to_numpy(np.int64)):
         if cum + c > rank:
@@ -267,7 +276,11 @@ def quantile_events(sf_dir: str, ps=QUANTILE_PS):
     actual data value bit-for-bit, rank = ceil(p*n)-1 ascending)."""
     ds = _read(sf_dir, "events", columns=["value"])
     n = ds.count()
-    out = [(f"p{int(p * 100)}", _select_rank(ds, math.ceil(p * n) - 1))
+    # all ranks share ONE level-1 histogram scan (n comes free from it too,
+    # but ds.count() is metadata-only for parquet)
+    hist0 = _histogram(ds, 52, 0, 0)
+    out = [(f"p{int(p * 100)}",
+            _select_rank(ds, math.ceil(p * n) - 1, hist=hist0))
            for p in ps]
     return pd.DataFrame({"q": [q for q, _ in out],
                          "value": np.array([v for _, v in out],

@@ -280,7 +280,7 @@ def seg_select_by_level(values, offsets, index2d: np.ndarray, level: int,
     if invert:
         mask = ~mask
     lens = lengths(offsets)
-    base = _base_values(values, offsets)
+    base, _ = _flat(values, offsets)   # slice-safe (trims tail-sliced buffers)
     rid = row_ids(offsets)
     new_lens = np.bincount(rid[mask], minlength=len(lens))
     new_off = np.zeros(len(lens) + 1, dtype=np.int64)

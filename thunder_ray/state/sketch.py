@@ -66,26 +66,47 @@ class SketchShard:
     the same combine kernel the batch rollup uses (rollup.RerollupPartials
     — factorize + sort + reduceat; no per-row Python, VERDICT r2 wrong #6)."""
 
+    _COLS = ["source", "bucket", "count", "sum", "sumsq", "min", "max"]
+
     def __init__(self):
         self.state: pa.Table | None = None
+        self.pending: list[pa.Table] = []
+        self.pending_rows = 0
         self.seen: set = set()
 
     def ingest(self, key: str, blob: bytes) -> int:
-        from ..stages.rollup import RerollupPartials
-
         if key in self.seen:
             return 0
         self.seen.add(key)
         tbl = _source_as_string(pa.ipc.open_stream(blob).read_all())
-        cols = ["source", "bucket", "count", "sum", "sumsq", "min", "max"]
-        merged = (tbl.select(cols) if self.state is None
-                  else pa.concat_tables([self.state, tbl.select(cols)]))
-        self.state = _source_as_string(RerollupPartials(1)(merged)).select(cols)
+        # fold lazily: append the blob's partials and compact only when the
+        # pending backlog reaches the state size — amortized O(rows log rows)
+        # over the stream instead of re-combining the WHOLE state per blob
+        # (exactness is unaffected: integer moments are merge-order
+        # independent, the house invariant).
+        self.pending.append(tbl.select(self._COLS))
+        self.pending_rows += len(tbl)
+        state_rows = 0 if self.state is None else len(self.state)
+        if self.pending_rows >= max(state_rows, 4096):
+            self._compact()
         return len(tbl)
+
+    def _compact(self):
+        from ..stages.rollup import RerollupPartials
+
+        if not self.pending:
+            return
+        parts = ([] if self.state is None else [self.state]) + self.pending
+        merged = parts[0] if len(parts) == 1 else pa.concat_tables(parts)
+        self.state = _source_as_string(
+            RerollupPartials(1)(merged)).select(self._COLS)
+        self.pending = []
+        self.pending_rows = 0
 
     def snapshot(self) -> bytes:
         import pyarrow.compute as pc
 
+        self._compact()
         tbl = self.state
         if tbl is None:
             tbl = pa.table({
@@ -106,6 +127,7 @@ class SketchShard:
         return sink.getvalue().to_pybytes()
 
     def n_keys(self) -> int:
+        self._compact()
         return 0 if self.state is None else len(self.state)
 
 

@@ -62,15 +62,17 @@ class GuardedShard:
     shard bounding ~1/fanin of the output refuses loudly before the single
     final task can OOM (the rollup._GuardedRerollup pattern, reusable)."""
 
-    def __init__(self, fn, max_rows: int, what: str = "combiner-tree shard"):
+    def __init__(self, fn, max_rows: int, what: str = "combiner-tree shard",
+                 exc: type = None):
         self.fn = fn
         self.max_rows = int(max_rows)
         self.what = what
+        self.exc = exc or TreeShardOverflowError
 
     def __call__(self, batch):
         out = self.fn(batch)
         if len(out) > self.max_rows:
-            raise TreeShardOverflowError(
+            raise self.exc(
                 f"{self.what} holds {len(out)} rows (> {self.max_rows}); "
                 f"rerun with strategy='groupby'")
         return out
