@@ -329,7 +329,11 @@ def _events_rollup(sf_dir: str, tier_seconds: int):
         v = np.floor(batch["value"].to_numpy(zero_copy_only=False) * SCALE).astype(np.int64)
         src = batch["event_type"].to_numpy(zero_copy_only=False)
         uniq, code = np.unique(src, return_inverse=True)
-        key = (code.astype(np.int64) << 40) | (bucket & ((1 << 40) - 1))
+        if len(bucket) and (int(bucket.min()) < 0
+                            or int(bucket.max()) >= (1 << 40)):
+            raise ValueError("tier bucket outside the 40-bit pack range "
+                             "(pre-epoch or far-future timestamp)")
+        key = (code.astype(np.int64) << 40) | bucket
         order = np.argsort(key, kind="stable")
         k = key[order]
         vv = v[order]

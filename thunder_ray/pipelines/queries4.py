@@ -425,14 +425,7 @@ def sessionize_events(sf_dir: str, timeout_us: int = SESSION_TIMEOUT_US,
     # segmented kernel per partition (lexsort + per-user cummax + reduceat)
     # instead of one pandas call per user — per-group map_groups overhead
     # was 11.6s of the 100k-event run's CPU, the segmented kernel is <0.5s.
-    from ..util import fanin_partitions
-
-    nparts = fanin_partitions()
-
-    def part(batch: pa.Table) -> pa.Table:
-        return batch.append_column(
-            "part", _i64(batch["user_id"].to_numpy(zero_copy_only=False)
-                         % nparts))
+    from ..util import sharded_merge
 
     def merge_part(g: pd.DataFrame) -> pd.DataFrame:
         u0 = g["user_id"].to_numpy(np.int64)
@@ -462,8 +455,7 @@ def sessionize_events(sf_dir: str, timeout_us: int = SESSION_TIMEOUT_US,
             "n_events": np.add.reduceat(n, starts),
         })
 
-    return fr.map_batches(part, batch_format="pyarrow").groupby(
-        "part").map_groups(merge_part, batch_format="pandas")
+    return sharded_merge(fr, "user_id", merge_part)
 
 
 # The twin orders window frames by (ts, event_id) so cumulative-sum session

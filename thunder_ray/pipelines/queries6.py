@@ -71,6 +71,10 @@ def counter_increase_1h(sf_dir: str, batch_size: int | None = None):
 
     def project(batch: pa.Table) -> pa.Table:
         ts_us = _col(batch, "ts").astype("datetime64[us]").astype(np.int64)
+        if len(ts_us) and (int(ts_us.min()) < 0
+                           or int(ts_us.max()) >= (1 << 32) * _DAY_US):
+            raise ValueError("event day outside the 32-bit pack range "
+                             "(pre-epoch or far-future timestamp)")
         sv = np.floor(_col(batch, "value") * SCALE).astype(np.int64)
         return pa.table({
             "event_type": batch["event_type"],
@@ -112,36 +116,29 @@ def counter_increase_1h(sf_dir: str, batch_size: int | None = None):
         if len(batch) == 0:
             return _EMPTY_CAND
         et = _col(batch, "event_type")
-        keep = _lexmax_per_cell(et, _col(batch, "day"), _col(batch, "ts_us"),
-                                _col(batch, "event_id"))
+        day, ts, eid = (_col(batch, "day"), _col(batch, "ts_us"),
+                        _col(batch, "event_id"))
+        keep = _lexmax_per_cell(et, day, ts, eid)
         return pa.table({
             "event_type": pa.array(et[keep], type=pa.string()),
-            "day": _i64(_col(batch, "day")[keep]),
-            "ts_us": _i64(_col(batch, "ts_us")[keep]),
-            "event_id": _i64(_col(batch, "event_id")[keep]),
+            "day": _i64(day[keep]),
+            "ts_us": _i64(ts[keep]),
+            "event_id": _i64(eid[keep]),
             "sv": _i64(_col(batch, "sv")[keep]),
         })
 
-    from ..util import fanin_partitions
-
-    nparts = fanin_partitions()
-
-    def tag(batch: pa.Table) -> pa.Table:
-        return batch.append_column(
-            "part", _i64(_col(batch, "day") % nparts))
+    from ..util import sharded_merge
 
     def true_last_part(g: pd.DataFrame) -> pd.DataFrame:
         keep = _lexmax_per_cell(g["event_type"].to_numpy(),
                                 g["day"].to_numpy(np.int64),
                                 g["ts_us"].to_numpy(np.int64),
                                 g["event_id"].to_numpy(np.int64))
-        return g.iloc[keep].drop(columns=["part"])
+        return g.iloc[keep]
 
-    bounds = (proj.map_batches(local_last, batch_format="pyarrow", **bs)
-              .map_batches(tag, batch_format="pyarrow")
-              .groupby("part")
-              .map_groups(true_last_part, batch_format="pandas")
-              .to_pandas())
+    bounds = sharded_merge(
+        proj.map_batches(local_last, batch_format="pyarrow", **bs),
+        "day", true_last_part).to_pandas()
     bounds = bounds.sort_values(["event_type", "day"])
     prev = bounds.groupby("event_type")["sv"].shift(1)
     carries = {
@@ -325,7 +322,7 @@ def m4_downsample_events(sf_dir: str, pixel_s: int = M4_PIXEL_S,
     per cell."""
     import ray.data as rd
 
-    from ..util import fanin_partitions
+    from ..util import sharded_merge
 
     ev = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["event_id", "ts", "event_type", "value"])
@@ -344,6 +341,9 @@ def m4_downsample_events(sf_dir: str, pixel_s: int = M4_PIXEL_S,
         sv = np.floor(_col(batch, "value") * SCALE).astype(np.int64)
         et = _col(batch, "event_type")
         bucket = ts // 1_000_000 // pixel_s
+        if int(bucket.min()) < 0 or int(bucket.max()) >= (1 << 40):
+            raise ValueError("pixel bucket outside the 40-bit pack range "
+                             "(pre-epoch or far-future timestamp)")
         u, code = np.unique(et, return_inverse=True)
         cell = (code.astype(np.int64) << 40) | bucket
         o = np.lexsort((eid, ts, cell))
@@ -363,12 +363,6 @@ def m4_downsample_events(sf_dir: str, pixel_s: int = M4_PIXEL_S,
             "mn": _i64(np.minimum.reduceat(svo, starts)),
             "mx": _i64(np.maximum.reduceat(svo, starts)),
         })
-
-    nparts = fanin_partitions()
-
-    def tag(batch: pa.Table) -> pa.Table:
-        return batch.append_column(
-            "part", _i64(_col(batch, "bucket") % nparts))
 
     def merge_part(g: pd.DataFrame) -> pd.DataFrame:
         et = g["event_type"].to_numpy()
@@ -399,12 +393,10 @@ def m4_downsample_events(sf_dir: str, pixel_s: int = M4_PIXEL_S,
 
     # batch_size is a test hook: tiny batches split every cell's rows
     # across many batches to exercise the candidate merge
-    return ev.map_batches(partial, batch_format="pyarrow",
-                          zero_copy_batch=True,
-                          **({"batch_size": batch_size} if batch_size else {})
-                          ).map_batches(
-        tag, batch_format="pyarrow").groupby("part").map_groups(
-        merge_part, batch_format="pandas")
+    cands = ev.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True,
+                           **({"batch_size": batch_size} if batch_size else {}))
+    return sharded_merge(cands, "bucket", merge_part)
 
 
 M4_DOWNSAMPLE_SQL = f"""
@@ -652,7 +644,7 @@ def quantile_by_key_events(sf_dir: str, ps=None):
 
     # walk each key's CDF to the containing bin for every requested rank
     need: dict[tuple[str, int], list[tuple[str, int]]] = {}
-    recurse: list[tuple[str, str, int]] = []
+    recurse: list[tuple[str, str, int, pd.DataFrame]] = []
     for et, hk in hist.groupby("event_type", sort=True):
         hk = hk.sort_values("b")
         bs = hk["b"].to_numpy(np.int64)
@@ -666,14 +658,21 @@ def quantile_by_key_events(sf_dir: str, ps=None):
                 need.setdefault((et, int(bs[i])), []).append(
                     (f"p{int(p * 100)}", rank - int(cum[i])))
             else:
-                recurse.append((et, f"p{int(p * 100)}", rank))
+                # the key's level-1 histogram is ALREADY in hand — pass it
+                # through so the recursion skips the redundant first scan
+                recurse.append((et, f"p{int(p * 100)}", rank,
+                                hk[["b", "c"]].reset_index(drop=True)))
 
-    # ONE collection scan for every needed (key, bin) cell
+    # ONE collection scan for every needed (key, bin) cell.  The cell mask
+    # is fully vectorized: code keys at the batch's DISTINCT-key level
+    # (searchsorted against the sorted needed-key list — never a per-key
+    # full-batch string comparison), then one isin on packed (code, bin).
     rows = []
     if need:
-        keys = sorted({k for k, _ in need})
-        bins_by_key = {k: np.array(sorted({b for (kk, b) in need if kk == k}),
-                                   dtype=np.int64) for k in keys}
+        keys_sorted = np.array(sorted({k for k, _ in need}), dtype=object)
+        kidx = {k: i for i, k in enumerate(keys_sorted)}
+        need_pack = np.array(sorted((kidx[k] << 12) | b for k, b in need),
+                             dtype=np.int64)
 
         def grab(batch: pa.Table) -> pa.Table:
             empty = pa.table({"event_type": pa.array([], type=pa.string()),
@@ -685,9 +684,12 @@ def quantile_by_key_events(sf_dir: str, ps=None):
             v = _col(batch, "value").astype(np.float64)
             o = _ordered_u64(v)
             b = ((o >> np.uint64(52)) & np.uint64(0xFFF)).astype(np.int64)
-            m = np.zeros(len(v), dtype=bool)
-            for k, kb in bins_by_key.items():
-                m |= (et == k) & np.isin(b, kb)
+            u, inv = np.unique(et, return_inverse=True)
+            pos = np.searchsorted(keys_sorted, u)
+            pos_c = np.minimum(pos, len(keys_sorted) - 1)
+            known_u = keys_sorted[pos_c] == u
+            code = pos_c[inv]
+            m = known_u[inv] & np.isin((code << 12) | b, need_pack)
             if not m.any():
                 return empty
             return pa.table({
@@ -704,8 +706,9 @@ def quantile_by_key_events(sf_dir: str, ps=None):
             for q, off in wants:
                 rows.append((et, q, float(cell[off])))
 
-    # hot-cell fallback: per-rank recursion on a key-filtered view
-    for et, q, rank in recurse:
+    # hot-cell fallback: per-rank recursion on a key-filtered view, seeded
+    # with the per-key level-1 histogram already computed above
+    for et, q, rank, hk in recurse:
         def _only(key):
             def f(batch: pa.Table) -> pa.Table:
                 m = _col(batch, "event_type") == key
@@ -716,7 +719,7 @@ def quantile_by_key_events(sf_dir: str, ps=None):
 
         sub = ds.map_batches(_only(et), batch_format="pyarrow",
                              zero_copy_batch=True)
-        rows.append((et, q, _select_rank(sub, rank)))
+        rows.append((et, q, _select_rank(sub, rank, hist=hk)))
 
     rows.sort()
     return pd.DataFrame({

@@ -66,8 +66,13 @@ def positions(offsets: np.ndarray) -> np.ndarray:
 
 
 def _base_values(values: np.ndarray, offsets: np.ndarray) -> np.ndarray:
-    """Values restricted to the rows covered by ``offsets`` (handles slices)."""
-    return values if offsets[0] == 0 else values[offsets[0]: offsets[-1]]
+    """Values restricted to the rows covered by ``offsets`` — handles BOTH
+    slice directions (head-sliced: offsets[0] > 0; tail-sliced:
+    offsets[0] == 0 but len(values) > offsets[-1]), so every seg_* caller
+    sees a buffer of exactly sum(lens) values."""
+    if offsets[0] == 0 and len(values) == int(offsets[-1]):
+        return values
+    return values[int(offsets[0]): int(offsets[-1])]
 
 
 def _flat(values: np.ndarray, offsets: np.ndarray):

@@ -88,3 +88,31 @@ def fanin_partitions(lo: int = 8, hi: int = 256) -> int:
     if ray.is_initialized():
         cpus = float(ray.cluster_resources().get("CPU", 8.0) or 8.0)
     return max(lo, min(int(cpus), hi))
+
+
+def sharded_merge(ds, key_col: str, kernel, nparts: int | None = None):
+    """The two-level candidate-merge scaffold shared by sessionize / M4 /
+    counter-increase pass 1: hash-shard rows on an existing int64 column
+    (``part = key_col % nparts``), then run ONE vectorized ``kernel`` per
+    partition via ``groupby("part").map_groups`` — never one pandas call
+    per key.  ``kernel`` receives the pandas group WITHOUT the part column.
+
+    Correctness requirement on callers: every row of one merge cell must
+    share the same ``key_col`` value (true when the cell key contains it),
+    so a cell never straddles partitions."""
+    import numpy as np
+    import pyarrow as pa
+
+    if nparts is None:
+        nparts = fanin_partitions()
+
+    def tag(batch: "pa.Table") -> "pa.Table":
+        v = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.append_column(
+            "part", pa.array(v % nparts, type=pa.int64()))
+
+    def run(g):
+        return kernel(g.drop(columns=["part"]))
+
+    return ds.map_batches(tag, batch_format="pyarrow").groupby(
+        "part").map_groups(run, batch_format="pandas")
