@@ -85,3 +85,28 @@ def test_gap_fill(ray_session):
     pd.testing.assert_frame_equal(
         got.astype({"min": "Int32", "max": "Int32"}), local.astype({"min": "Int32", "max": "Int32"})
     )
+
+
+def test_resume_with_changed_sharding_recomputes(ray_session, tokens_dir,
+                                                 tmp_path):
+    """A resumed run whose shard -> file mapping changed (different
+    files_per_shard) must NOT trust stale manifests by shard id alone, and
+    stage 2 must not sweep stale higher-id shard dirs — the tiers must
+    equal a fresh run's bit-for-bit."""
+    fresh = str(tmp_path / "fresh")
+    tp.run_rollup(tokens_dir, fresh, files_per_shard=1, batch_size=64)
+
+    resharded = str(tmp_path / "resharded")
+    m1 = tp.run_rollup(tokens_dir, resharded, files_per_shard=1,
+                       batch_size=64)
+    assert m1["shards_total"] == 8
+    # resume the SAME out_root with coarser sharding: shard ids now map to
+    # different file sets, and shards 4..7 from the first run are stale
+    m2 = tp.run_rollup(tokens_dir, resharded, files_per_shard=2,
+                       batch_size=64)
+    assert m2["shards_total"] == 4
+    assert m2["shards_run"] == 4 and m2["shards_skipped"] == 0
+
+    a, b = tier_frames(fresh), tier_frames(resharded)
+    for tier in ("1m", "1h", "1d"):
+        pd.testing.assert_frame_equal(a[tier], b[tier])

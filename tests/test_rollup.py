@@ -91,3 +91,38 @@ def test_t0_column_path(ray_session):
     assert got["bucket"].tolist() == [0]
     assert got["count"].tolist() == [5]
     assert got["sum"].tolist() == [15]
+
+
+def test_salted_bucketize_handles_empty_batch():
+    """A zero-row batch (empty row group / empty upstream block) must yield
+    a zero-row salted partials table, not IndexError on t0[0]."""
+    empty = pa.table({
+        "doc_id": pa.array([], type=pa.string()),
+        "tokens": pa.array([], type=pa.list_(pa.int32())),
+        "source": pa.array([], type=pa.string()),
+    })
+    out = ru.BucketizePartials(60, salt=8)(empty)
+    assert len(out) == 0 and "salt" in out.column_names
+
+
+def test_missing_t0_column_raises(tokens_table):
+    """A typo'd / pruned t0 column must refuse loudly, never silently fall
+    back to doc-id-derived buckets."""
+    with pytest.raises(KeyError, match="typo_col"):
+        ru.BucketizePartials(60, t0_column="typo_col")(tokens_table)
+
+
+def test_tree_final_task_input_guard(ray_session, tokens_table, monkeypatch):
+    """Disjoint-group shards can each pass the per-shard bound while their
+    union exceeds the final task's budget — the final combine must refuse
+    on oversized INPUT, not OOM."""
+    partials = ru.BucketizePartials(60)(tokens_table)
+    n = len(partials)
+    assert n > 4
+    # per-shard outputs stay under the bound, the final input does not
+    monkeypatch.setattr(ru, "TREE_MAX_GROUPS", max(2, n // 8))
+    ds = rd.from_arrow(partials).repartition(8)
+    with pytest.raises(Exception) as ei:
+        ru.merge_partials(ds, strategy="tree").materialize()
+    assert "TreeMergeOverflowError" in str(ei.value) or isinstance(
+        ei.value, ru.TreeMergeOverflowError)

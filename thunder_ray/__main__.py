@@ -49,10 +49,20 @@ def main(argv=None) -> int:
     p.add_argument("--out", required=True)
     p.add_argument("--files-per-shard", type=int, default=64)
     p.add_argument("--no-resume", action="store_true")
+    p.add_argument("--merge-strategy", default="auto",
+                   choices=["auto", "tree", "groupby"],
+                   help="partials merge topology (the remedy a "
+                        "TreeMergeOverflowError names is --merge-strategy "
+                        "groupby)")
+    p.add_argument("--expected-groups", type=int, default=None,
+                   help="~#sources x #buckets; steers merge-strategy auto")
 
     p = sub.add_parser("stream", help="fused streaming rollup (no checkpoints)")
     p.add_argument("--input", required=True)
     p.add_argument("--out", required=True)
+    p.add_argument("--merge-strategy", default="auto",
+                   choices=["auto", "tree", "groupby"])
+    p.add_argument("--expected-groups", type=int, default=None)
 
     p = sub.add_parser("synth", help="write the synthetic tokens table")
     p.add_argument("--out", required=True)
@@ -83,12 +93,16 @@ def main(argv=None) -> int:
 
         metrics = run_rollup(args.input, args.out,
                              files_per_shard=args.files_per_shard,
-                             resume=not args.no_resume)
+                             resume=not args.no_resume,
+                             merge_strategy=args.merge_strategy,
+                             expected_groups=args.expected_groups)
         print(json.dumps(metrics))
     elif args.cmd == "stream":
         from .pipelines.tiers import rollup_streaming
 
-        print(json.dumps(rollup_streaming(args.input, args.out)))
+        print(json.dumps(rollup_streaming(
+            args.input, args.out, merge_strategy=args.merge_strategy,
+            expected_groups=args.expected_groups)))
     elif args.cmd == "gapfill":
         import glob
 

@@ -186,16 +186,36 @@ class RerollupFloatPartials:
 
 def merge_float_partials(ds, fanin: int | None = None):
     """Tree merge (same topology as rollup.merge_partials strategy='tree')
-    over the float schema — block combine, level-2 fan-in, final combine."""
-    from ..util import fanin_partitions
+    over the float schema — block combine, level-2 fan-in, final combine.
+    Carries the same cardinality guards as the int tree: the float path is
+    the designated beyond-int64 escape hatch, i.e. exactly where group
+    counts are most likely huge, so an over-cardinality corpus must refuse
+    loudly (TreeMergeOverflowError) instead of OOMing the final task."""
+    from ..stages.rollup import TREE_MAX_GROUPS, TreeMergeOverflowError
+    from ..util import GuardedShard, fanin_partitions
+
+    def guarded(check_input: bool = False):
+        inner = RerollupFloatPartials(1)
+
+        def fn(batch: pa.Table) -> pa.Table:
+            if check_input and len(batch) > TREE_MAX_GROUPS:
+                raise TreeMergeOverflowError(
+                    f"float combiner-tree final task received {len(batch)} "
+                    f"partial rows (> {TREE_MAX_GROUPS}); shard the input "
+                    f"and merge per shard")
+            return inner(batch)
+
+        return GuardedShard(fn, TREE_MAX_GROUPS,
+                            what="float combiner-tree shard",
+                            exc=TreeMergeOverflowError)
 
     combined = ds.map_batches(RerollupFloatPartials(1), batch_format="pyarrow",
                               zero_copy_batch=True, batch_size=None)
     level2 = combined.repartition(fanin or fanin_partitions()).map_batches(
-        RerollupFloatPartials(1), batch_format="pyarrow",
+        guarded(), batch_format="pyarrow",
         zero_copy_batch=True, batch_size=None)
     return level2.repartition(1).map_batches(
-        RerollupFloatPartials(1), batch_format="pyarrow",
+        guarded(check_input=True), batch_format="pyarrow",
         zero_copy_batch=True, batch_size=None)
 
 

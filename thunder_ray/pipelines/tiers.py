@@ -91,6 +91,8 @@ def run_rollup(
     batch_size: int | None = None,
     resume: bool = True,
     fail_after_shards: int | None = None,
+    merge_strategy: str = "auto",
+    expected_groups: int | None = None,
 ) -> dict:
     """Run (or resume) the full tier pipeline.  Returns summary metrics.
 
@@ -107,8 +109,15 @@ def run_rollup(
         mpath = _manifest_path(out_root, base_tier, sid)
         out_dir = os.path.join(out_root, f"partials_{base_tier}", f"shard={sid:05d}")
         if resume and os.path.exists(mpath) and os.path.exists(out_dir):
-            metrics["shards_skipped"] += 1
-            continue
+            # lineage check: a manifest is only trusted if it was computed
+            # over THIS shard's exact file list — a resumed run with a
+            # different files_per_shard or a changed input dir must redo
+            # the shard, never silently reuse mismatched partials
+            with open(mpath) as f:
+                recorded = json.load(f).get("input_files")
+            if recorded == files:
+                metrics["shards_skipped"] += 1
+                continue
         if fail_after_shards is not None and done >= fail_after_shards:
             raise RuntimeError(f"injected failure after {done} shards")
         t_start = time.perf_counter()
@@ -132,10 +141,18 @@ def run_rollup(
     # ---- stage 2: merge partials -> finalized tiers (idempotent) ----
     import ray.data as rd
 
+    # read EXACTLY this run's shard set (never a bare shard=* glob: stale
+    # higher-id dirs from a previous run with different sharding, or
+    # leftover shard=NNNNN.tmp dirs, must not be double-counted)
     partial_files = sorted(
-        glob.glob(os.path.join(out_root, f"partials_{base_tier}", "shard=*", "*.parquet"))
+        f
+        for sid in range(len(shards))
+        for f in glob.glob(os.path.join(
+            out_root, f"partials_{base_tier}", f"shard={sid:05d}", "*.parquet"))
     )
-    merged = ru.merge_partials(rd.read_parquet(partial_files))
+    merged = ru.merge_partials(rd.read_parquet(partial_files),
+                               strategy=merge_strategy,
+                               expected_groups=expected_groups)
     base = merged.map_batches(ru.finalize_tier, batch_format="pyarrow", zero_copy_batch=True)
     _atomic_write_dir(base, os.path.join(out_root, f"tier={base_tier}"))
     metrics[f"points_{base_tier}"] = _dir_rows(os.path.join(out_root, f"tier={base_tier}"))
@@ -158,7 +175,9 @@ def run_rollup(
 
 def rollup_streaming(input_path: str, out_root: str | None = None,
                      t0_column: str | None = None,
-                     batch_size: int | None = None) -> dict:
+                     batch_size: int | None = None,
+                     merge_strategy: str = "auto",
+                     expected_groups: int | None = None) -> dict:
     """Fused, non-checkpointed tier chain: ONE streaming pipeline raw->1m,
     then in-memory re-rollups 1m->1h->1d (tier outputs are orders of
     magnitude smaller than raw, so materializing them is safe at any scale).
@@ -182,8 +201,17 @@ def rollup_streaming(input_path: str, out_root: str | None = None,
         ru.BucketizePartials(TIERS["1m"], t0_column=t0_column),
         batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size,
     )
-    merged = ru.merge_partials(partials)
-    all_tiers = merged.map_batches(
+    merged = ru.merge_partials(partials, strategy=merge_strategy,
+                               expected_groups=expected_groups)
+    # repartition(1) guarantees finalize_all_tiers sees the WHOLE merged 1m
+    # tier as ONE batch: the merge's final combine is a map task whose
+    # output Ray may dynamically split into several blocks, and a per-block
+    # re-rollup would emit duplicate partially-aggregated 1h/1d rows for
+    # buckets straddling a block boundary.  The exchange moves rolled
+    # points only (~1e4x smaller than raw); like merge strategy="tree",
+    # this path requires the finalized tier to fit one task — use
+    # run_rollup + rerollup for beyond-heap tiers.
+    all_tiers = merged.repartition(1).map_batches(
         ru.finalize_all_tiers, batch_format="pyarrow",
         zero_copy_batch=True, batch_size=None,
     ).materialize()

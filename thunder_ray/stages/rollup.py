@@ -32,7 +32,7 @@ import numpy as np
 import pyarrow as pa
 
 from ..schema import derive_mean_m2, t0_for_doc_ids
-from ..util import fanin_partitions
+from ..util import GuardedShard, TreeShardOverflowError, fanin_partitions
 from . import listkernels as lk
 
 # Partial/tier column order (TIER_SCHEMA + derived).
@@ -95,7 +95,13 @@ class BucketizePartials:
         vals, offs = lk.list_parts(batch["tokens"])
         base, rel = lk._flat(vals, offs)
         lens = lk.lengths(offs).astype(np.int64)
-        if self.t0_column is not None and self.t0_column in batch.column_names:
+        if self.t0_column is not None:
+            if self.t0_column not in batch.column_names:
+                # a typo'd / pruned-away t0 column must refuse loudly, not
+                # silently fall back to doc-id-derived buckets
+                raise KeyError(
+                    f"t0_column {self.t0_column!r} not in batch columns "
+                    f"{batch.column_names}")
             t0 = batch[self.t0_column].to_numpy(zero_copy_only=False).astype(np.int64) % 86_400
         else:
             t0 = t0_for_doc_ids(batch["doc_id"].to_numpy(zero_copy_only=False))
@@ -149,7 +155,10 @@ class BucketizePartials:
             # deterministic salt: spread *batches* of the same group across
             # S sub-groups; any stable per-batch value works — derive from
             # the batch's first doc t0 + row count (content-stable).
-            sval = int((int(t0[0]) * 1_000_003 + len(batch)) % self.salt)
+            # Empty batches (empty row group / empty upstream block) have no
+            # t0[0]; any constant is fine since the table is empty.
+            sval = (0 if len(t0) == 0 else
+                    int((int(t0[0]) * 1_000_003 + len(batch)) % self.salt))
             tbl = tbl.append_column("salt", pa.array(np.full(len(tbl), sval, dtype=np.int32)))
         return tbl
 
@@ -197,27 +206,34 @@ class RerollupPartials:
 TREE_MAX_GROUPS = 50_000_000
 
 
-class TreeMergeOverflowError(RuntimeError):
+class TreeMergeOverflowError(TreeShardOverflowError):
     """Raised when a combiner-tree fan-in stage exceeds TREE_MAX_GROUPS
-    output rows — rerun with merge strategy='groupby' (keyed shuffle)."""
+    output rows — rerun with merge strategy='groupby' (keyed shuffle).
+    Subclasses util.TreeShardOverflowError so a caller catching the generic
+    guard exception also catches rollup-tree overflows."""
 
 
-class _GuardedRerollup(RerollupPartials):
-    """Fan-in combine with a cardinality guard: a level-2 shard bounding
-    ~1/fanin of the groups refuses before the single final task can OOM."""
+def _guarded_rerollup(factor: int, max_rows: int,
+                      check_input: bool = False):
+    """util.GuardedShard specialization for the rollup combiner tree.
 
-    def __init__(self, factor: int, max_rows: int):
-        super().__init__(factor)
-        self.max_rows = int(max_rows)
+    ``check_input=True`` (the FINAL combine task) additionally refuses when
+    the assembled input batch itself exceeds ``max_rows`` — level-2 shards
+    can each legitimately hold up to the full group count (overlapping
+    groups), so a disjoint-group corpus with fanin x max_rows total rows
+    must be caught BEFORE the final task's argsort triples its memory."""
+    inner = RerollupPartials(factor)
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        out = super().__call__(batch)
-        if len(out) > self.max_rows:
+    def fn(batch: pa.Table) -> pa.Table:
+        if check_input and len(batch) > max_rows:
             raise TreeMergeOverflowError(
-                f"combiner-tree shard holds {len(out)} groups "
-                f"(> {self.max_rows}); rerun merge_partials with "
+                f"combiner-tree final task received {len(batch)} partial "
+                f"rows (> {max_rows}); rerun merge_partials with "
                 f"strategy='groupby'")
-        return out
+        return inner(batch)
+
+    return GuardedShard(fn, max_rows, what="combiner-tree shard",
+                        exc=TreeMergeOverflowError)
 
 
 def merge_partials(ds, salted: bool = False, strategy: str = "auto",
@@ -262,14 +278,16 @@ def merge_partials(ds, salted: bool = False, strategy: str = "auto",
             zero_copy_batch=True, batch_size=combine_batch,
         )
         # level 2: fan-in to `fanin` parallel combines (each bounded by the
-        # group cardinality, guarded), then one tiny final combine
+        # group cardinality, guarded), then one final combine that ALSO
+        # refuses on oversized input — disjoint-group shards can each pass
+        # the per-shard bound while their union exceeds one task's heap
         level2 = combined.repartition(fanin_partitions()).map_batches(
-            _GuardedRerollup(1, TREE_MAX_GROUPS), batch_format="pyarrow",
+            _guarded_rerollup(1, TREE_MAX_GROUPS), batch_format="pyarrow",
             zero_copy_batch=True, batch_size=None,
         )
         return level2.repartition(1).map_batches(
-            RerollupPartials(1), batch_format="pyarrow",
-            zero_copy_batch=True, batch_size=None,
+            _guarded_rerollup(1, TREE_MAX_GROUPS, check_input=True),
+            batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
         )
 
     from ray.data.aggregate import Max, Min, Sum
