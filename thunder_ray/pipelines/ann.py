@@ -30,6 +30,31 @@ def _i64(arr) -> pa.Array:
     return pa.array(np.asarray(arr, dtype=np.int64), type=pa.int64())
 
 
+def _empty_cand() -> pa.Table:
+    return pa.table({"query_id": _i64([]), "vec_id": _i64([]),
+                     "dot_s": _i64([])})
+
+
+def _final_topk(batch: pa.Table) -> pa.Table:
+    """Tiny single-task merge of #batches x k candidates: global lexsort by
+    (query, -dot, vec_id) then first TOP_K rows per query.  ONE shared
+    implementation — the rank/tie-break logic must stay bit-identical to
+    the SQL twin across all three ANN paths."""
+    q = batch["query_id"].to_numpy(zero_copy_only=False)
+    v = batch["vec_id"].to_numpy(zero_copy_only=False)
+    d = batch["dot_s"].to_numpy(zero_copy_only=False)
+    if len(q) == 0:   # empty input table (ADVICE r1: guard like LSH twin)
+        return batch
+    order = np.lexsort((v, -d, q))
+    q, v, d = q[order], v[order], d[order]
+    # rank within query after global sort: first TOP_K rows per query
+    change = np.flatnonzero(np.diff(q, prepend=q[0] - 1) != 0)
+    rank = np.arange(len(q)) - np.repeat(change, np.diff(np.append(change, len(q))))
+    keep = rank < TOP_K
+    return pa.table({"query_id": _i64(q[keep]), "vec_id": _i64(v[keep]),
+                     "dot_s": _i64(d[keep])})
+
+
 def _load_queries(sf_dir: str):
     """Deterministic query set: the N_QUERIES lowest vec_ids (scaled ints)."""
     import ray.data as rd
@@ -60,6 +85,8 @@ def ann_topk_embeddings(sf_dir: str):
             from ..stages import listkernels as lk
             from ..stages import signal as sg
 
+            if len(batch) == 0:
+                return _empty_cand()
             vec = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
             vals, offs = lk.list_parts(batch["embedding"])
             Y = np.floor(sg.as_2d(vals, offs).astype(np.float64) * 1e6).astype(np.int64)
@@ -82,23 +109,8 @@ def ann_topk_embeddings(sf_dir: str):
                            columns=["vec_id", "embedding"]).map_batches(
         Score, concurrency=(1, 4), batch_format="pyarrow", zero_copy_batch=True)
 
-    def final_topk(batch: pa.Table) -> pa.Table:
-        q = batch["query_id"].to_numpy(zero_copy_only=False)
-        v = batch["vec_id"].to_numpy(zero_copy_only=False)
-        d = batch["dot_s"].to_numpy(zero_copy_only=False)
-        if len(q) == 0:   # empty input table (ADVICE r1: guard like LSH twin)
-            return batch
-        order = np.lexsort((v, -d, q))
-        q, v, d = q[order], v[order], d[order]
-        # rank within query after global sort: first TOP_K rows per query
-        change = np.flatnonzero(np.diff(q, prepend=q[0] - 1) != 0)
-        rank = np.arange(len(q)) - np.repeat(change, np.diff(np.append(change, len(q))))
-        keep = rank < TOP_K
-        return pa.table({"query_id": _i64(q[keep]), "vec_id": _i64(v[keep]),
-                         "dot_s": _i64(d[keep])})
-
     # final merge of #batches x k candidates: tiny — one task
-    return cand.repartition(1).map_batches(final_topk, batch_format="pyarrow",
+    return cand.repartition(1).map_batches(_final_topk, batch_format="pyarrow",
                                            zero_copy_batch=True, batch_size=None)
 
 
@@ -155,6 +167,8 @@ def ann_lsh_topk_embeddings(sf_dir: str):
             from ..stages import listkernels as lk
             from ..stages import signal as sg
 
+            if len(batch) == 0:
+                return _empty_cand()
             vec = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
             vals, offs = lk.list_parts(batch["embedding"])
             Y = np.floor(sg.as_2d(vals, offs).astype(np.float64) * 1e6).astype(np.int64)
@@ -179,21 +193,7 @@ def ann_lsh_topk_embeddings(sf_dir: str):
                            columns=["vec_id", "embedding"]).map_batches(
         Score, concurrency=(1, 4), batch_format="pyarrow", zero_copy_batch=True)
 
-    def final_topk(batch: pa.Table) -> pa.Table:
-        q = batch["query_id"].to_numpy(zero_copy_only=False)
-        v = batch["vec_id"].to_numpy(zero_copy_only=False)
-        d = batch["dot_s"].to_numpy(zero_copy_only=False)
-        if len(q) == 0:
-            return batch
-        order = np.lexsort((v, -d, q))
-        q, v, d = q[order], v[order], d[order]
-        change = np.flatnonzero(np.diff(q, prepend=q[0] - 1) != 0)
-        rank = np.arange(len(q)) - np.repeat(change, np.diff(np.append(change, len(q))))
-        keep = rank < TOP_K
-        return pa.table({"query_id": _i64(q[keep]), "vec_id": _i64(v[keep]),
-                         "dot_s": _i64(d[keep])})
-
-    return cand.repartition(1).map_batches(final_topk, batch_format="pyarrow",
+    return cand.repartition(1).map_batches(_final_topk, batch_format="pyarrow",
                                            zero_copy_batch=True, batch_size=None)
 
 
@@ -219,6 +219,10 @@ def ann_ivf_topk_embeddings(sf_dir: str):
         IVF_SAMPLE).take_all()
     S = np.stack([np.floor(np.asarray(r["embedding"], dtype=np.float64) * 1e6)
                   for r in rows])
+    # the query set (N_QUERIES lowest vec_ids) is a PREFIX of this sorted
+    # sample — reuse it instead of a second whole-table sort (_load_queries)
+    qids = np.array([int(r["vec_id"]) for r in rows[:N_QUERIES]], dtype=np.int64)
+    Q = S[:N_QUERIES].astype(np.int64)
     # k-means-lite on the sample (cosine geometry: L2-normalized rows)
     Sn = S / np.linalg.norm(S, axis=1, keepdims=True)
     C = Sn[:IVF_CENTROIDS].copy()
@@ -229,7 +233,6 @@ def ann_ivf_topk_embeddings(sf_dir: str):
             if m.any():
                 v = Sn[m].sum(axis=0)
                 C[k] = v / np.linalg.norm(v)
-    qids, Q = _load_queries(sf_dir)
     Qn = Q.astype(np.float64)
     Qn = Qn / np.linalg.norm(Qn, axis=1, keepdims=True)
     # probe lists per query: the IVF_NPROBE nearest centroids
@@ -244,6 +247,8 @@ def ann_ivf_topk_embeddings(sf_dir: str):
             from ..stages import listkernels as lk
             from ..stages import signal as sg
 
+            if len(batch) == 0:
+                return _empty_cand()
             vec = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
             vals, offs = lk.list_parts(batch["embedding"])
             Y = np.floor(sg.as_2d(vals, offs).astype(np.float64) * 1e6).astype(np.int64)
@@ -261,21 +266,7 @@ def ann_ivf_topk_embeddings(sf_dir: str):
                            columns=["vec_id", "embedding"]).map_batches(
         Score, concurrency=(1, 4), batch_format="pyarrow", zero_copy_batch=True)
 
-    def final_topk(batch: pa.Table) -> pa.Table:
-        q = batch["query_id"].to_numpy(zero_copy_only=False)
-        v = batch["vec_id"].to_numpy(zero_copy_only=False)
-        d = batch["dot_s"].to_numpy(zero_copy_only=False)
-        if len(q) == 0:
-            return batch
-        order = np.lexsort((v, -d, q))
-        q, v, d = q[order], v[order], d[order]
-        change = np.flatnonzero(np.diff(q, prepend=q[0] - 1) != 0)
-        rank = np.arange(len(q)) - np.repeat(change, np.diff(np.append(change, len(q))))
-        keep = rank < TOP_K
-        return pa.table({"query_id": _i64(q[keep]), "vec_id": _i64(v[keep]),
-                         "dot_s": _i64(d[keep])})
-
-    return cand.repartition(1).map_batches(final_topk, batch_format="pyarrow",
+    return cand.repartition(1).map_batches(_final_topk, batch_format="pyarrow",
                                            zero_copy_batch=True, batch_size=None)
 
 

@@ -176,6 +176,22 @@ class _GuardedCombine(GuardedShard):
                          exc=PairTreeOverflowError)
 
 
+def _guarded_final(fn, max_rows: int):
+    """The tree's FINAL combine must also refuse on oversized INPUT:
+    disjoint-pair shards can each pass the per-shard output bound while
+    their union exceeds one task's heap (the rollup._guarded_rerollup
+    check_input pattern)."""
+
+    def g(batch: pa.Table) -> pa.Table:
+        if len(batch) > max_rows:
+            raise PairTreeOverflowError(
+                f"pair-combiner final task received {len(batch)} rows "
+                f"(> {max_rows}); rerun with strategy='groupby'")
+        return fn(batch)
+
+    return g
+
+
 def _pick_pair_strategy(strategy: str, expected_pairs: int | None) -> str:
     """auto -> tree while the estimated pair set fits one task, else the
     keyed shuffle; the tree path stays guarded for under-estimates."""
@@ -244,7 +260,8 @@ def _combine_pair_counts(matches, strategy: str = "auto",
         _GuardedCombine(combine, TREE_MAX_PAIRS), batch_format="pyarrow",
         zero_copy_batch=True, batch_size=None)
     return level2.repartition(1).map_batches(
-        combine, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+        _guarded_final(combine, TREE_MAX_PAIRS), batch_format="pyarrow",
+        zero_copy_batch=True, batch_size=None)
 
 
 def _pair_jaccard(inter_counts):
@@ -631,7 +648,8 @@ def _pairs_via_self_join(band_rows, key_cols, strategy: str = "auto",
         _GuardedCombine(dedupe, TREE_MAX_PAIRS), batch_format="pyarrow",
         zero_copy_batch=True, batch_size=None)
     return level2.repartition(1).map_batches(
-        dedupe, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+        _guarded_final(dedupe, TREE_MAX_PAIRS), batch_format="pyarrow",
+        zero_copy_batch=True, batch_size=None)
 
 
 def minhash_lsh_pairs_documents(sf_dir: str):
@@ -741,7 +759,11 @@ def simhash_pairs_documents(sf_dir: str):
                          & np.uint64(0xFFFF)).astype(np.int64).reshape(-1)),
         })
 
-    band_rows = sig_ds.map_batches(bands, batch_format="pyarrow", zero_copy_batch=True)
+    # materialized: the self-join consumes the band rows as BOTH sides, and
+    # Ray re-executes lazy lineage per consumer (same reasoning as the
+    # minhash and embedding-LSH band materializations)
+    band_rows = sig_ds.map_batches(bands, batch_format="pyarrow",
+                                   zero_copy_batch=True).materialize()
     cand = _maybe_barrier(_pairs_via_self_join(band_rows, ("band", "key")))
 
     # hamming verify via two signature joins (no driver-side state);
@@ -897,13 +919,19 @@ def _pack_i64_rows(Y: np.ndarray) -> pa.Array:
         [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(flat)])
 
 
-def _unpack_i64_rows(col, d: int) -> np.ndarray:
-    """Inverse of _pack_i64_rows for a (possibly chunked/sliced) binary column."""
+def _unpack_i64_rows(col, d: int | None = None) -> np.ndarray:
+    """Inverse of _pack_i64_rows for a (possibly chunked/sliced) binary
+    column.  ``d`` defaults to the width recorded in the binary offsets
+    (every packed row is d*8 bytes), so callers need not hardcode it."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     buffers = col.buffers()
     offs = np.frombuffer(buffers[1], dtype=np.int32)[
         col.offset: col.offset + len(col) + 1]
+    if d is None:
+        if len(col) == 0:
+            return np.empty((0, 0), dtype=np.int64)
+        d = int(offs[1] - offs[0]) // 8
     data = np.frombuffer(buffers[2], dtype=np.int64)
     idx = (offs[:-1].astype(np.int64) // 8)[:, None] + np.arange(d, dtype=np.int64)
     return data[idx]
@@ -923,15 +951,23 @@ def embedding_neardup_lsh_pairs(sf_dir: str):
     """
     import ray.data as rd
 
-    rng = np.random.default_rng(2026)
-    # hyperplanes for all tables, (TABLES, 64 dims, BITS)
-    H = rng.normal(size=(EMB_LSH_TABLES, 64, EMB_LSH_BITS))
     weights = (1 << np.arange(EMB_LSH_BITS, dtype=np.int64))
+    # hyperplanes are derived from the data's OWN dimension (never a
+    # hardcoded d): deterministic seeded construction, cached per d so
+    # every batch of a run sees identical planes
+    _H_cache: dict[int, np.ndarray] = {}
+
+    def _hyperplanes(d: int) -> np.ndarray:
+        if d not in _H_cache:
+            _H_cache[d] = np.random.default_rng(2026).normal(
+                size=(EMB_LSH_TABLES, d, EMB_LSH_BITS))
+        return _H_cache[d]
 
     def band_rows(batch: pa.Table) -> pa.Table:
         vec, Y, _ = _scaled_vec_batch(batch)
         n = len(vec)
         Yf = Y.astype(np.float64)
+        H = _hyperplanes(Yf.shape[1])
         codes = np.empty((n, EMB_LSH_TABLES), dtype=np.int64)
         for t in range(EMB_LSH_TABLES):
             codes[:, t] = ((Yf @ H[t]) > 0) @ weights
@@ -971,8 +1007,8 @@ def embedding_neardup_lsh_pairs(sf_dir: str):
         if len(batch) == 0:
             return pa.table({"vec_lo": _i64([]), "vec_hi": _i64([]),
                              "cosine": pa.array(np.empty(0))})
-        A = _unpack_i64_rows(batch["svb_lo"], 64)
-        B = _unpack_i64_rows(batch["svb_hi"], 64)
+        A = _unpack_i64_rows(batch["svb_lo"])
+        B = _unpack_i64_rows(batch["svb_hi"])
         dots = np.einsum("ij,ij->i", A, B)
         n2a = batch["n2_lo"].to_numpy(zero_copy_only=False).astype(np.int64)
         n2b = batch["n2_hi"].to_numpy(zero_copy_only=False).astype(np.int64)

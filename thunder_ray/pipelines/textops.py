@@ -216,11 +216,25 @@ def _lang_profile_ds(sf_dir: str, strategy: str = "auto",
         return joined.map_batches(wt, batch_format="pyarrow",
                                   zero_copy_batch=True).materialize()
 
+    def final_combine(batch: pa.Table) -> pa.Table:
+        # final task refuses on oversized INPUT too: disjoint-vocab shards
+        # can each pass the per-shard bound while their union cannot fit
+        # (the rollup check_input pattern)
+        if len(batch) > PROFILE_TREE_MAX_ROWS:
+            from ..util import TreeShardOverflowError
+
+            raise TreeShardOverflowError(
+                f"lang-profile final task received {len(batch)} rows "
+                f"(> {PROFILE_TREE_MAX_ROWS}); rerun with "
+                f"strategy='groupby'")
+        return combine(batch)
+
     merged = level1.repartition(fanin_partitions()).map_batches(
         GuardedShard(combine, PROFILE_TREE_MAX_ROWS, "lang-profile tree shard"),
         batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     ).repartition(1).map_batches(
-        combine, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+        final_combine, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None)
     return merged.map_batches(weights, batch_format="pyarrow",
                               zero_copy_batch=True, batch_size=None).materialize()
 

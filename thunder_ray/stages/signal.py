@@ -24,15 +24,18 @@ import numpy as np
 from . import listkernels as lk
 
 
-def as_2d(values: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+def as_2d(values: np.ndarray, offsets: np.ndarray,
+          d_if_empty: int | None = None) -> np.ndarray:
     """Zero-copy ``(n, d)`` view of a fixed-length list column.
 
     Raises if rows are ragged — caller decides whether to fall back to the
-    segmented kernels.
+    segmented kernels.  An empty batch returns ``(0, d_if_empty or 0)`` —
+    matmul consumers that know their width should pass it so ``Y @ Q.T``
+    stays shape-valid on empty blocks.
     """
     lens = lk.lengths(offsets)
     if len(lens) == 0:
-        return np.empty((0, 0))
+        return np.empty((0, d_if_empty or 0))
     d = int(lens[0])
     if not (lens == d).all():
         raise ValueError("ragged list column; use segmented kernels")
