@@ -233,3 +233,20 @@ def test_filter_keeps_labels_in_lockstep(ray_session):
 
     kept2 = filter_records(labeled, vec, vectorized=True).take_all()
     assert sorted(r["label"] for r in kept2) == ["L2", "L3", "L4"]
+
+
+def test_scaled_list_slice_safe():
+    """_scaled_list must return the SLICE's values with relative offsets —
+    a head-sliced list column (absolute offsets) fed the full buffer with
+    relative offsets would aggregate rows before the slice."""
+    import pyarrow as pa
+
+    from thunder_ray.pipelines.queries import _scaled_list
+
+    full = pa.array([[0.1, 0.2], [0.3, 0.4], [0.5, 0.6]],
+                    type=pa.list_(pa.float32()))
+    sl = full.slice(1, 2)          # head-sliced: offsets start at 2
+    tbl = pa.table({"embedding": sl})
+    v, offs = _scaled_list(tbl["embedding"])
+    assert offs[0] == 0 and len(v) == 4
+    assert v.tolist() == [300000, 400000, 500000, 600000]

@@ -132,3 +132,51 @@ def test_tobinary_refuses_cross_block_width_mismatch(ray_session, tmp_path):
     ds = rd.from_arrow([a, b])  # one block each
     with pytest.raises(ValueError, match="uniform series lengths"):
         to_binary(ds, str(tmp_path / "bad"))
+
+
+def test_from_text_ids_stable_across_files(ray_session, tmp_path):
+    """Multi-file from_text must produce globally unique, deterministic ids
+    (a per-batch counter would collide across blocks/files)."""
+    from thunder_ray.sources.series import from_text
+
+    (tmp_path / "a.txt").write_text("1 2 3\n4 5\n")
+    (tmp_path / "b.txt").write_text("6\n7 8\n")
+    df = from_text(str(tmp_path)).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    assert sorted(df["doc_id"]) == ["line-0-0", "line-0-1",
+                                    "line-1-0", "line-1-1"]
+    assert df["doc_id"].is_unique
+
+
+def test_from_binary_rejects_lossy_valuetype(ray_session, tmp_path):
+    """A float payload recorded in conf.json must refuse on read instead of
+    silently truncating to int32."""
+    import json
+    import numpy as np
+    import pytest
+
+    from thunder_ray.sources.binary import from_binary
+
+    d = 2
+    rec = np.dtype([("k", "<i8"), ("v", "<f8", (d,))])
+    arr = np.array([(1, (1.5, 2.0))], dtype=rec)
+    (tmp_path / "part-000000000001.bin").write_bytes(arr.tobytes())
+    (tmp_path / "conf.json").write_text(json.dumps(
+        {"nkeys": 1, "keytype": "<i8", "nvalues": d, "valuetype": "<f8",
+         "keyprefix": "doc-", "keywidth": 8}))
+    with pytest.raises(Exception, match="losslessly"):
+        from_binary(str(tmp_path)).materialize()
+
+
+def test_to_binary_rejects_mixed_id_family(ray_session):
+    """A block mixing id families (doc-00000042 vs doc-42) must refuse
+    loudly, not silently rewrite ids on the round trip."""
+    import pytest
+    import ray.data as rd
+
+    from thunder_ray.sources.binary import _keys_from_doc_ids
+    import pyarrow as pa
+
+    col = pa.array(["doc-00000042", "doc-42"], type=pa.string())
+    with pytest.raises(ValueError, match="one doc_id family"):
+        _keys_from_doc_ids(col)

@@ -39,10 +39,16 @@ def _read(sf_dir: str, table: str, columns=None):
 
 
 def _scaled_list(col):
-    """list<float> -> (int64 scaled values, offsets): floor(float64(x)*1e6)."""
-    vals, offs = lk.list_parts(col)
-    scaled = np.floor(vals.astype(np.float64) * SCALE).astype(np.int64)
-    return scaled, offs
+    """list<float> -> (int64 scaled values, offsets): floor(float64(x)*1e6).
+
+    Slice-normalized at the source: the returned buffer is exactly the
+    rows' values and the offsets start at 0 (lk._flat), so EVERY consumer
+    is safe on Ray-sliced list columns regardless of which offset
+    convention it uses downstream."""
+    raw, offs = lk.list_parts(col)
+    base, rel = lk._flat(raw, offs)
+    scaled = np.floor(base.astype(np.float64) * SCALE).astype(np.int64)
+    return scaled, rel
 
 
 def _i64(arr) -> pa.Array:
@@ -98,6 +104,12 @@ def rollup_documents_full(sf_dir: str, tier_seconds: int):
     ~1e4x less input."""
     key = (sf_dir, _source_fingerprint(sf_dir), tier_seconds)
     if key not in _TIER_CACHE:
+        # evict superseded fingerprints for this (sf_dir, tier) so a
+        # regenerated input does not pin dead materialized tiers in the
+        # object store for the whole session
+        for k in [k for k in _TIER_CACHE
+                  if k[0] == sf_dir and k[2] == tier_seconds]:
+            del _TIER_CACHE[k]
         if tier_seconds > 60 and tier_seconds % 60 == 0:
             out = ru.rerollup(rollup_documents_full(sf_dir, 60),
                               tier_seconds // 60)
@@ -574,7 +586,11 @@ def rollup_events_1h(sf_dir: str):
         v = np.floor(batch["value"].to_numpy(zero_copy_only=False) * SCALE).astype(np.int64)
         src = batch["event_type"].to_numpy(zero_copy_only=False)
         uniq, code = np.unique(src, return_inverse=True)
-        key = (code.astype(np.int64) << 40) | (bucket & ((1 << 40) - 1))
+        if len(bucket) and (int(bucket.min()) < 0
+                            or int(bucket.max()) >= (1 << 40)):
+            raise ValueError("tier bucket outside the 40-bit pack range "
+                             "(pre-epoch or far-future timestamp)")
+        key = (code.astype(np.int64) << 40) | bucket
         offs = np.array([0, len(v)], dtype=np.int64)
         k, cnt, s, q, mn, mx = lk.seg_moments_by_key(v, offs, key)
         return pa.table({

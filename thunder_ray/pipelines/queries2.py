@@ -319,6 +319,10 @@ def _events_rollup(sf_dir: str, tier_seconds: int):
     key = (sf_dir, _source_fingerprint(sf_dir, "events"), tier_seconds)
     if key in _EVENTS_TIER_CACHE:
         return _EVENTS_TIER_CACHE[key]
+    # evict superseded fingerprints (see queries._TIER_CACHE)
+    for k in [k for k in _EVENTS_TIER_CACHE
+              if k[0] == sf_dir and k[2] == tier_seconds]:
+        del _EVENTS_TIER_CACHE[k]
     from ray.data.aggregate import Sum
 
     ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])

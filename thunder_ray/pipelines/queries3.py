@@ -144,7 +144,9 @@ def compression_ratio_1m(sf_dir: str):
             if isinstance(batch["source"], pa.ChunkedArray) else batch["source"],
             "n_points": _i64(n),
             "blob_bytes": total,
-            "raw_bytes": _i64(n * 60),   # 8B x 6 ints + 2 x 8B floats + min/max int32
+            # per tier row: bucket/count/sum/sumsq int64 (32B) + min/max
+            # int32 (8B) + mean/m2 float64 (16B) = 56B
+            "raw_bytes": _i64(n * 56),
         })
 
     return blobs.map_batches(sizes, batch_format="pyarrow", zero_copy_batch=True)

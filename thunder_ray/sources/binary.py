@@ -35,7 +35,10 @@ import pyarrow as pa
 
 def _keys_from_doc_ids(col) -> tuple[np.ndarray, str, int]:
     """(int keys, id prefix, digit width) — the prefix/width pair is the
-    key-format template recorded in conf.json."""
+    key-format template recorded in conf.json.  EVERY id in the block must
+    match the derived family (prefix + fixed digit width): the first row
+    alone is not enough, since a mixed block would silently rewrite the
+    other rows' ids on read."""
     import pyarrow.compute as pc
 
     if isinstance(col, pa.ChunkedArray):
@@ -44,9 +47,22 @@ def _keys_from_doc_ids(col) -> tuple[np.ndarray, str, int]:
     first = col[0].as_py() if len(col) else ""
     first_digits = digits[0].as_py() if len(col) else ""
     prefix = first[: len(first) - len(first_digits)]
+    width = len(first_digits)
+    if len(col):
+        ids = col.to_numpy(zero_copy_only=False)
+        dig = digits.to_numpy(zero_copy_only=False)
+        ok = np.fromiter(
+            ((i == f"{prefix}{g}" and len(g) == width)
+             for i, g in zip(ids, dig)), dtype=bool, count=len(ids))
+        if not ok.all():
+            bad = ids[~ok][:3].tolist()
+            raise ValueError(
+                f"tobinary requires one doc_id family per block "
+                f"(prefix={prefix!r}, width={width}); mismatched ids "
+                f"e.g. {bad}")
     keys = np.asarray(digits.cast(pa.int64()).to_numpy(zero_copy_only=False),
                       dtype=np.int64)
-    return keys, prefix, len(first_digits)
+    return keys, prefix, width
 
 
 def to_binary(ds, path: str, value_column: str = "tokens",
@@ -133,7 +149,16 @@ def from_binary(path: str, source: str = "bin"):
         for blob in batch["bytes"]:
             arr = np.frombuffer(blob.as_py(), dtype=rec)
             n = len(arr)
-            vals32 = arr["v"].astype(np.int32).reshape(-1)
+            # honor the RECORDED valuetype: parse with it, then cast to the
+            # canonical int32 tokens only when lossless — a float or wide
+            # int payload must refuse, not silently truncate/wrap
+            v = arr["v"]
+            vals32 = v.astype(np.int32)
+            if not np.array_equal(vals32.astype(v.dtype), v):
+                raise ValueError(
+                    f"frombinary: valuetype {conf['valuetype']} payload "
+                    f"does not fit int32 tokens losslessly")
+            vals32 = vals32.reshape(-1)
             tables.append(pa.table({
                 "doc_id": pa.array(
                     np.char.add(prefix, np.char.zfill(

@@ -15,6 +15,8 @@ source: string)`` so every engine operator composes downstream.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 
@@ -76,20 +78,41 @@ def from_list(items, accessor=None, source: str = "mem"):
 
 def from_text(path, skip: int = 0, source: str = "txt"):
     """thunder ``series.fromtext``: whitespace-separated integers per line;
-    the first ``skip`` fields are dropped (thunder: key fields)."""
+    the first ``skip`` fields are dropped (thunder: key fields).
+
+    Line ids are GLOBALLY stable: each file is parsed as one unit (so ids
+    never depend on Ray's block splits — a per-batch counter would collide
+    across blocks), numbered ``line-{n}`` within its file, with a
+    ``line-{file_index}-{n}`` form when reading a multi-file directory."""
+    import glob as _glob
+
     import ray.data as rd
 
-    ds = rd.read_text(path)
+    if os.path.isdir(path):
+        files = sorted(_glob.glob(os.path.join(path, "*")))
+    else:
+        files = [path]
+    file_index = {os.path.basename(p): i for i, p in enumerate(files)}
+    multi = len(files) > 1
+
+    ds = rd.read_binary_files(files, include_paths=True)
 
     def parse(batch) -> pa.Table:
-        lines = batch["text"].to_pylist()
         arrs, ids = [], []
-        for ln in lines:
-            fields = ln.split()
-            if not fields:
-                continue
-            arrs.append(np.asarray(fields[skip:], dtype=np.int32))
-            ids.append(" ".join(fields[:skip]) if skip else f"line-{len(ids)}")
+        for p, blob in zip(batch["path"].to_pylist(),
+                           batch["bytes"].to_pylist()):
+            fi = file_index[os.path.basename(p)]
+            n = 0
+            for ln in blob.decode("utf-8").splitlines():
+                fields = ln.split()
+                if not fields:
+                    continue
+                arrs.append(np.asarray(fields[skip:], dtype=np.int32))
+                if skip:
+                    ids.append(" ".join(fields[:skip]))
+                else:
+                    ids.append(f"line-{fi}-{n}" if multi else f"line-{n}")
+                n += 1
         lens = np.array([len(a) for a in arrs], dtype=np.int32)
         flat = np.concatenate(arrs) if arrs else np.empty(0, dtype=np.int32)
         offs = np.zeros(len(arrs) + 1, dtype=np.int32)

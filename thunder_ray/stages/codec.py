@@ -81,12 +81,19 @@ class GorillaDecode:
                 row[c] = gorilla.decode_xor(batch[f"{c}_blob"][i].as_py(), n)
             parts.append(pa.table({
                 "source": pa.array(row["source"], type=pa.string()),
-                **{c: pa.array(row[c]) for c in INT_COLS},
+                # decode restores the tier's PHYSICAL schema: min/max are
+                # int32 in finalize_tier, the rest int64 (type fidelity is
+                # part of the decode-is-the-tier contract)
+                **{c: pa.array(row[c],
+                               type=pa.int32() if c in ("min", "max")
+                               else pa.int64())
+                   for c in INT_COLS},
                 **{c: pa.array(row[c]) for c in FLOAT_COLS},
             }))
         return pa.concat_tables(parts) if parts else pa.table(
             {"source": pa.array([], type=pa.string()),
-             **{c: pa.array([], type=pa.int64()) for c in INT_COLS},
+             **{c: pa.array([], type=pa.int32() if c in ("min", "max")
+                            else pa.int64()) for c in INT_COLS},
              **{c: pa.array([], type=pa.float64()) for c in FLOAT_COLS}})
 
 
