@@ -200,3 +200,32 @@ def test_to_png_range_check(ray_session, tmp_path):
     ds = rd.from_arrow(frames_from_array(stack))
     with pytest.raises(ray.exceptions.RayTaskError, match="uint16 range"):
         imf.to_png(ds, str(tmp_path / "bad"), dtype="uint16")
+
+
+def test_decode_tiff_ifd_cycle_raises():
+    """A next-IFD pointer that loops must raise, never hang the worker."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from thunder_ray.functions.tiff import decode_tiff, encode_tiff
+
+    data = bytearray(encode_tiff(np.zeros((1, 2, 2), dtype=np.uint8)))
+    (ifd_off,) = struct.unpack_from("<I", data, 4)
+    (n_entries,) = struct.unpack_from("<H", data, ifd_off)
+    next_pos = ifd_off + 2 + n_entries * 12
+    struct.pack_into("<I", data, next_pos, ifd_off)   # point IFD at itself
+    with pytest.raises(ValueError, match="cycle"):
+        decode_tiff(bytes(data))
+
+
+def test_decode_png_truncated_raises_valueerror():
+    import numpy as np
+    import pytest
+
+    from thunder_ray.functions.png import decode_png, encode_png
+
+    blob = encode_png(np.zeros((2, 2), dtype=np.uint8))
+    with pytest.raises(ValueError, match="truncated|missing"):
+        decode_png(blob[: len(blob) // 2])

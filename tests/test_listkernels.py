@@ -250,3 +250,19 @@ def test_scaled_list_slice_safe():
     v, offs = _scaled_list(tbl["embedding"])
     assert offs[0] == 0 and len(v) == 4
     assert v.tolist() == [300000, 400000, 500000, 600000]
+
+
+def test_seg_percentile_empty_trailing_segment():
+    """offsets=[0,2,2]: an empty LAST segment must yield NaN, not IndexError
+    (rel for the empty segment equals len(values))."""
+    import numpy as np
+
+    from thunder_ray.stages import listkernels as lk
+
+    v = np.array([3, 1], dtype=np.int64)
+    offs = np.array([0, 2, 2], dtype=np.int64)
+    out = lk.seg_percentile(v, offs, 50.0)
+    assert out[0] == 2.0 and np.isnan(out[1])
+    out = lk.seg_median(np.empty(0, dtype=np.int64),
+                        np.array([0, 0], dtype=np.int64))
+    assert np.isnan(out[0])

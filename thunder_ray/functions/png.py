@@ -130,6 +130,10 @@ def decode_png(data: bytes, verify_crc: bool = True) -> np.ndarray:
     n = len(data)
     while pos + 8 <= n:
         (length,) = struct.unpack_from(">I", data, pos)
+        if pos + 12 + length > n:
+            # a truncated / corrupt-length chunk must raise the codec's
+            # ValueError contract, not struct.error
+            raise ValueError("truncated PNG (chunk past end of data)")
         tag = data[pos + 4: pos + 8]
         body = data[pos + 8: pos + 8 + length]
         if verify_crc:

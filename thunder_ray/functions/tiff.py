@@ -110,7 +110,15 @@ def decode_tiff(data: bytes) -> np.ndarray:
     (ifd_off,) = struct.unpack_from(e + "I", data, 4)
 
     pages = []
+    seen_offsets = set()
     while ifd_off:
+        # a corrupt next-IFD pointer must raise like every other malformed
+        # input, never loop a worker forever
+        if ifd_off in seen_offsets:
+            raise ValueError("corrupt TIFF: IFD chain cycle")
+        seen_offsets.add(ifd_off)
+        if ifd_off + 2 > len(data):
+            raise ValueError("truncated TIFF (IFD offset past end)")
         (n_entries,) = struct.unpack_from(e + "H", data, ifd_off)
         tags = {}
         for i in range(n_entries):

@@ -34,7 +34,9 @@ def _u16_cubes(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
 
 
 def _frame_stats(ids: np.ndarray, cube: np.ndarray) -> pa.Table:
-    flat = cube.reshape(len(ids), -1).astype(np.int64)
+    # explicit width: reshape(0, -1) raises on empty batches
+    flat = cube.reshape(len(ids),
+                        int(np.prod(cube.shape[1:]))).astype(np.int64)
     w = np.arange(1, flat.shape[1] + 1, dtype=np.int64)
     return pa.table({
         "frame_id": pa.array(ids, type=pa.int64()),

@@ -175,12 +175,18 @@ def asof_join_events_1m(sf_dir: str, shard: int = DAY_SHARD * 30):
     def ev_bucket(batch: pa.Table) -> pa.Table:
         ts_us = batch["ts"].to_numpy(zero_copy_only=False).astype(
             "datetime64[us]").astype(np.int64)
+        n = len(batch)
         return pa.table({
             "event_id": _i64(batch["event_id"].to_numpy(zero_copy_only=False)),
             "event_type": batch["event_type"].combine_chunks()
             if isinstance(batch["event_type"], pa.ChunkedArray) else batch["event_type"],
             "ebucket": _i64(ts_us // 1_000_000 // 60),
-            "side": _i64(np.ones(len(batch), dtype=np.int64)),
+            "side": _i64(np.ones(n, dtype=np.int64)),
+            # zero-filled so the three-way union has ONE schema: a
+            # mismatched union null-promotes t_count/t_sum to float64 in
+            # the pandas groups, silently rounding int64 sums past 2^53
+            "t_count": _i64(np.zeros(n, dtype=np.int64)),
+            "t_sum": _i64(np.zeros(n, dtype=np.int64)),
         })
 
     evb = ev.map_batches(ev_bucket, batch_format="pyarrow", zero_copy_batch=True)
@@ -212,8 +218,13 @@ def asof_join_events_1m(sf_dir: str, shard: int = DAY_SHARD * 30):
         b = batch["ebucket"].to_numpy(zero_copy_only=False).astype(np.int64)
         return batch.append_column("day", _i64(b // shard))
 
-    evd = evb.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
-    tbd = tb.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+    # materialized: each side is consumed twice (lasts/day-distinct AND the
+    # final union) and Ray re-executes lazy lineage per consumer — without
+    # this, events.parquet is re-read and re-bucketed per consumer
+    evd = evb.map_batches(tag, batch_format="pyarrow",
+                          zero_copy_batch=True).materialize()
+    tbd = tb.map_batches(tag, batch_format="pyarrow",
+                         zero_copy_batch=True).materialize()
 
     # last tier row per (key, day): per-batch combine + tree fan-in (the
     # tier is rolled-point scale — no keyed shuffle needed)

@@ -167,8 +167,17 @@ def _read_image_dir(path: str, ext: str, decode_one, npages: int,
                 raise ValueError(f"unrecognized image filename: {pth.as_py()}")
             base = int(m.group(1))
             cube = decode_one(blob.as_py())          # (t, h, w)
+            if len(cube) != npages:
+                # a stale/missing conf.json (wrong npages) would otherwise
+                # emit colliding frame_ids across neighbouring stacks
+                raise ValueError(
+                    f"{pth.as_py()}: {len(cube)} page(s) but conf declares "
+                    f"npages={npages}")
             fids = base * npages + np.arange(len(cube), dtype=np.int64)
             out.append(_emit(fids, cube))
+        if not out:
+            return _emit(np.empty(0, dtype=np.int64),
+                         np.empty((0, 1, 1), dtype=np.uint16))
         return pa.concat_tables(out)
 
     return ds.map_batches(parse, batch_format="pyarrow", batch_size=batch_size)

@@ -190,6 +190,11 @@ def gap_fill(tier_ds, shard: int = 1440, key_col: str = "source"):
         cols["gap_filled"] = pa.array(np.zeros(len(batch), dtype=bool))
         return pa.table(cols)
 
+    # materialized: the tier feeds BOTH the pass-through real rows and the
+    # mean view, and Ray re-executes lazy lineage per consumer — an
+    # un-cached caller would otherwise run its whole rollup twice
+    # (rolled-point scale, spillable object-store blocks)
+    tier_ds = tier_ds.materialize()
     real = tier_ds.map_batches(real_rows, batch_format="pyarrow",
                                zero_copy_batch=True)
     mean_view = tier_ds.select_columns([key_col, "bucket", "mean"])

@@ -31,10 +31,7 @@ def list_parts(col) -> tuple[np.ndarray, np.ndarray]:
     """
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
-    if isinstance(col, pa.LargeListArray):
-        offsets = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-    else:
-        offsets = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    offsets = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
     values = col.values.to_numpy(zero_copy_only=False)
     return values, offsets
 
@@ -77,12 +74,10 @@ def _base_values(values: np.ndarray, offsets: np.ndarray) -> np.ndarray:
 
 def _flat(values: np.ndarray, offsets: np.ndarray):
     """Normalize to (base_values, relative_offsets) so ``reduceat`` segments
-    never overshoot a sliced buffer (its last segment runs to array end)."""
-    base = _base_values(values, offsets)
-    rel = (offsets - offsets[0]).astype(np.int64)
-    if offsets[0] == 0 and len(base) != int(rel[-1]):
-        base = base[: int(rel[-1])]
-    return base, rel
+    never overshoot a sliced buffer (its last segment runs to array end).
+    ``_base_values`` already trims both slice directions, so base is exactly
+    sum(lens) values."""
+    return _base_values(values, offsets), (offsets - offsets[0]).astype(np.int64)
 
 
 # ---------------------------------------------------------------------------
@@ -167,6 +162,12 @@ def seg_percentile(values: np.ndarray, offsets: np.ndarray, q: float) -> np.ndar
     frac = pos - lo
     lo_i = rel + np.clip(lo, 0, np.maximum(lens - 1, 0))
     hi_i = rel + np.clip(hi, 0, np.maximum(lens - 1, 0))
+    # an empty TRAILING segment has rel == len(sv): clamp the gather (its
+    # value is overwritten with NaN below) instead of indexing off the end
+    if len(sv) == 0:
+        return np.full(len(lens), np.nan)
+    np.clip(lo_i, 0, len(sv) - 1, out=lo_i)
+    np.clip(hi_i, 0, len(sv) - 1, out=hi_i)
     out = sv[lo_i].astype(np.float64) * (1 - frac) + sv[hi_i].astype(np.float64) * frac
     out[lens == 0] = np.nan
     return out
