@@ -374,7 +374,29 @@ if __name__ == "__main__":
     else:
         payload = main_default(args.num_cpus, args.sf_dir, sf_label)
 
-    print(json.dumps(payload, separators=(",", ":")))
+    # The driver records the LAST ~2000 chars of stdout; a longer line gets
+    # its FRONT clipped and becomes unparseable (the r1 'parsed:null' class
+    # of failure).  With 77 queries the full per-query dict no longer fits,
+    # so keep the SLOWEST queries inline up to a hard budget and note the
+    # omission — bench_detail.json always carries every query's time.
+    line = json.dumps(payload, separators=(",", ":"))
+    budget = 1900
+    if len(line) > budget and "queries" in payload:
+        full = payload["queries"]
+        payload = dict(payload)
+        payload["queries_omitted"] = 0
+        payload["detail"] = "bench_detail.json"
+        keep = {}
+        for k, v in sorted(full.items(), key=lambda kv: -kv[1]):
+            payload["queries"] = {**keep, k: v}
+            payload["queries_omitted"] = len(full) - len(payload["queries"])
+            if len(json.dumps(payload, separators=(",", ":"))) > budget:
+                payload["queries"] = keep
+                payload["queries_omitted"] = len(full) - len(keep)
+                break
+            keep[k] = v
+        line = json.dumps(payload, separators=(",", ":"))
+    print(line)
 
     import ray
 
