@@ -70,6 +70,13 @@ def test_query_vs_oracle(entry_mod, con, qname):
     assert len(got) == len(want), (len(got), len(want))
     for col in got.columns:
         g, w = got[col].to_numpy(), want[col].to_numpy()
+        # The driver's value-hash is dtype-sensitive: an int64 engine column
+        # vs a DuckDB HUGEINT (-> float64 in pandas) hashes differently even
+        # when every value matches.  Catch that class locally.
+        assert g.dtype.kind == w.dtype.kind, (
+            f"{qname}.{col} dtype-kind mismatch engine={g.dtype} oracle={w.dtype}"
+            " (uncast SUM() in the SQL twin?)"
+        )
         if g.dtype.kind == "f" or w.dtype.kind == "f":
             assert g.astype(np.float64).tobytes() == w.astype(np.float64).tobytes(), (
                 f"{qname}.{col} floats not bit-identical; max abs diff "

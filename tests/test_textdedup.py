@@ -425,3 +425,61 @@ def test_lang_profile_auto_picks_groupby_beyond_bound():
     prof = tx._lang_profile_ds("/root/testdata/sf0.001", strategy="auto",
                                expected_rows=tx.PROFILE_TREE_MAX_ROWS + 1)
     assert prof.count() > 0
+
+
+# ---------------------------------------------------------------------------
+# SimHash pair pipeline: fused verify + parameterized banding (VERDICT r3 #2/#5)
+
+def test_popcount64_matches_python():
+    rng = np.random.default_rng(3)
+    x = rng.integers(0, 2 ** 64, size=1000, dtype=np.uint64)
+    ham = dd._popcount64(x)
+    assert all(int(h) == bin(int(v)).count("1") for h, v in zip(ham, x))
+    assert dd._popcount64(np.zeros(0, dtype=np.uint64)).shape == (0,)
+
+
+def test_simhash_pairs_schemes_recall_and_exact_hamming(ray_session, tmp_path):
+    """Both banding schemes must (a) report every pair the pigeonhole
+    guarantees (hamming <= 3), (b) attach the EXACT popcount hamming, and
+    (c) never report a pair above SIMHASH_HAM_T."""
+    import pyarrow.parquet as pq
+
+    base = " ".join(f"w{i}" for i in range(120))
+    near = " ".join([f"w{i}" for i in range(118)] + ["zz", "yy"])
+    texts = [base, base, near] + [
+        " ".join(f"q{i}d{d}" for i in range(60)) for d in range(40)]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                  "text": pa.array(texts, type=pa.string())})
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    sf = str(tmp_path)
+
+    sigs = [dd.simhash64(tx) for tx in texts]
+    guaranteed = {(i, j) for i in range(len(texts))
+                  for j in range(i + 1, len(texts))
+                  if bin(sigs[i] ^ sigs[j]).count("1") <= 3}
+    assert (0, 1) in guaranteed  # identical docs -> hamming 0
+
+    for scheme in ("b16", "prefix"):
+        df = dd.simhash_pairs_documents(sf, scheme=scheme).to_pandas()
+        pairs = set(zip(df["doc_lo"].astype(int), df["doc_hi"].astype(int)))
+        assert guaranteed <= pairs, (scheme, guaranteed - pairs)
+        for _, r in df.iterrows():
+            h = bin(sigs[int(r["doc_lo"])] ^ sigs[int(r["doc_hi"])]).count("1")
+            assert h == int(r["hamming"]) <= dd.SIMHASH_HAM_T, (scheme, r)
+
+
+def test_simhash_prefix_bucket_occupancy_bounded():
+    """The scale property VERDICT r3 #5 asks to pin: at a corpus size where
+    the 16-bit band buckets already crowd, the permuted-prefix keys (~2^33
+    space) keep worst-case bucket occupancy O(1) on random signatures."""
+    rng = np.random.default_rng(7)
+    sig = rng.integers(0, 2 ** 64, size=120_000, dtype=np.uint64)
+    kp = dd._simhash_keys_prefix(sig)
+    assert kp.shape == (len(sig), len(dd._PFX_COMBOS))
+    worst_prefix = max(int(np.unique(kp[:, t], return_counts=True)[1].max())
+                       for t in range(kp.shape[1]))
+    kb = dd._simhash_keys_b16(sig)
+    worst_b16 = max(int(np.unique(kb[:, t], return_counts=True)[1].max())
+                    for t in range(kb.shape[1]))
+    assert worst_prefix <= 4
+    assert worst_b16 > 2 * worst_prefix  # 65,536-key bands already quadratic-bound

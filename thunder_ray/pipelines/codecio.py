@@ -92,10 +92,10 @@ WITH flat AS (
 )
 SELECT CAST(vec_id AS BIGINT) AS frame_id,
        COUNT(*) AS npix,
-       SUM(v) AS vsum,
+       CAST(SUM(v) AS BIGINT) AS vsum,
        MIN(v) AS vmin,
        MAX(v) AS vmax,
-       SUM(v * (pos + 1)) AS wsum
+       CAST(SUM(v * (pos + 1)) AS BIGINT) AS wsum
 FROM flat GROUP BY vec_id
 """
 
@@ -135,10 +135,10 @@ WITH v AS (
   FROM (SELECT doc_id, unnest(range(256)) AS i FROM documents)
 )
 SELECT CAST(doc_id AS BIGINT) AS media_id,
-       SUM(p) AS pixel_sum,
+       CAST(SUM(p) AS BIGINT) AS pixel_sum,
        MIN(p) AS pixel_min,
        MAX(p) AS pixel_max,
-       SUM(p * (i + 1)) AS pixel_wsum
+       CAST(SUM(p * (i + 1)) AS BIGINT) AS pixel_wsum
 FROM v GROUP BY doc_id
 """
 

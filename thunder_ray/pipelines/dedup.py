@@ -21,6 +21,8 @@ Pair-merge steps offer ``strategy="tree"`` (fan-in, test scale) and
 
 from __future__ import annotations
 
+from itertools import combinations
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -604,11 +606,20 @@ def _band_buckets(sig: np.ndarray) -> np.ndarray:
 
 
 def _pairs_via_self_join(band_rows, key_cols, strategy: str = "auto",
-                         expected_pairs: int | None = None):
+                         expected_pairs: int | None = None,
+                         emit=None, extra_cols: tuple = ()):
     """Candidate pairs = self-join of band rows on the bucket key (C++ hash
     join) — replaces per-bucket ``map_groups`` (pandas per tiny group was
     the dominant cost at 5k docs: tens of thousands of ~1-row groups).
     Output deduplicated (a pair can match in several bands).
+
+    ``emit`` (optional) replaces the default pair extractor: it receives the
+    joined batch (left columns as-is, right columns suffixed ``_r``) and must
+    return (doc_lo, doc_hi, *extra_cols) with any verification ALREADY
+    applied — this is how simhash fuses its hamming popcount into the join
+    (VERDICT r3 #2) instead of re-joining signatures afterwards.  Every
+    ``extra_cols`` value must be a pure function of the pair (dedupe keeps an
+    arbitrary row per pair).
 
     Dedupe strategies mirror ``_combine_pair_counts``: ``auto`` picks the
     guarded tree (per-batch dedupe -> level-2 fan-in -> final task) below
@@ -621,11 +632,12 @@ def _pairs_via_self_join(band_rows, key_cols, strategy: str = "auto",
         batch_format="pyarrow", zero_copy_batch=True)
     joined = band_rows.join(right, "inner", derive_parallelism(), on=tuple(key_cols))
 
-    def emit(batch: pa.Table) -> pa.Table:
-        a = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        b = batch["doc_id_r"].to_numpy(zero_copy_only=False).astype(np.int64)
-        keep = a < b
-        return pa.table({"doc_lo": _i64(a[keep]), "doc_hi": _i64(b[keep])})
+    if emit is None:
+        def emit(batch: pa.Table) -> pa.Table:
+            a = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            b = batch["doc_id_r"].to_numpy(zero_copy_only=False).astype(np.int64)
+            keep = a < b
+            return pa.table({"doc_lo": _i64(a[keep]), "doc_hi": _i64(b[keep])})
 
     pairs = joined.map_batches(emit, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -634,7 +646,14 @@ def _pairs_via_self_join(band_rows, key_cols, strategy: str = "auto",
         b = batch["doc_hi"].to_numpy(zero_copy_only=False)
         key = _pack_pair_key(a.astype(np.int64), b.astype(np.int64))
         _, idx = np.unique(key, return_index=True)
-        return pa.table({"doc_lo": _i64(a[idx]), "doc_hi": _i64(b[idx])})
+        cols = {"doc_lo": _i64(a[idx]), "doc_hi": _i64(b[idx])}
+        take = pa.array(idx.astype(np.int64))  # same rows as a[idx]/b[idx]
+        for c in extra_cols:
+            col = batch[c]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            cols[c] = col.take(take)
+        return pa.table(cols)
 
     strategy = _pick_pair_strategy(strategy, expected_pairs)
     level1 = pairs.map_batches(dedupe, batch_format="pyarrow",
@@ -642,7 +661,7 @@ def _pairs_via_self_join(band_rows, key_cols, strategy: str = "auto",
     if strategy == "groupby":
         from ray.data.aggregate import Count
 
-        return level1.groupby(["doc_lo", "doc_hi"]).aggregate(
+        return level1.groupby(["doc_lo", "doc_hi", *extra_cols]).aggregate(
             Count(alias_name="_n")).drop_columns(["_n"])
     level2 = level1.repartition(fanin_partitions()).map_batches(
         _GuardedCombine(dedupe, TREE_MAX_PAIRS), batch_format="pyarrow",
@@ -727,74 +746,108 @@ def simhash_batch(batch: pa.Table) -> np.ndarray:
     return sig
 
 
-def simhash_pairs_documents(sf_dir: str):
-    """Doc pairs whose 64-bit simhashes differ in <= SIMHASH_HAM_T bits.
+SIMHASH_B16_MAX_DOCS = 200_000   # auto scheme cutover: 16-bit band keys cap
+                                 # bucket cardinality at 65,536/band, so
+                                 # occupancy (and self-join output) grows
+                                 # quadratically with corpus size beyond this
+_PFX_SIZES = (11, 11, 11, 11, 10, 10)   # 64 bits -> 6 blocks
+_PFX_SHIFTS = (0, 11, 22, 33, 44, 54)
+_PFX_COMBOS = tuple(combinations(range(6), 3))  # 20 tables
 
-    Plan: map_batches computes signatures; 4x 16-bit band buckets guarantee
-    recall for hamming distance <= 3 per 16-bit block pigeonhole (any pair
-    within hamming 8 shares at least one of 4 blocks... only if the 8
-    differing bits avoid one block — guaranteed when ham < 4; heuristic
-    above).  Verification is an exact popcount on candidate pairs.
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of a uint64 array (bit-parallel SWAR on bytes)."""
+    if len(x) == 0:
+        return np.zeros(0, dtype=np.int64)
+    return np.unpackbits(x.view(np.uint8).reshape(len(x), 8),
+                         axis=1).sum(axis=1).astype(np.int64)
+
+
+def _simhash_keys_b16(sig: np.ndarray) -> np.ndarray:
+    """(n, 4) int64: the 4 disjoint 16-bit blocks of each signature.
+    Pigeonhole guarantees candidacy for hamming <= 3; heuristic above."""
+    return ((sig[:, None] >> (np.arange(4, dtype=np.uint64) * np.uint64(16)))
+            & np.uint64(0xFFFF)).astype(np.int64)
+
+
+def _simhash_keys_prefix(sig: np.ndarray) -> np.ndarray:
+    """(n, 20) int64 permuted-prefix table keys (Manku et al., WWW 2007,
+    block-combination form): 64 bits split into 6 blocks, one table per
+    3-block combination (C(6,3) = 20), key = the 3 blocks concatenated
+    (~33 bits).  Same hamming<=3 pigeonhole guarantee as the 16-bit scheme
+    (3 dirty bits touch <= 3 blocks, so some 3-block combo is clean) but the
+    key space is ~2^33 per table: expected bucket occupancy n/2^33 stays
+    O(1) at corpus sizes where 16-bit buckets go quadratic."""
+    blocks = [((sig >> np.uint64(sh)) & np.uint64((1 << sz) - 1))
+              for sh, sz in zip(_PFX_SHIFTS, _PFX_SIZES)]
+    out = np.empty((len(sig), len(_PFX_COMBOS)), dtype=np.int64)
+    for t, (i, j, k) in enumerate(_PFX_COMBOS):
+        out[:, t] = ((blocks[i] << np.uint64(_PFX_SIZES[j] + _PFX_SIZES[k]))
+                     | (blocks[j] << np.uint64(_PFX_SIZES[k]))
+                     | blocks[k]).astype(np.int64)
+    return out
+
+
+def _simhash_emit(batch: pa.Table) -> pa.Table:
+    """Fused candidate-extract + hamming-verify kernel for the band
+    self-join (VERDICT r3 #2): signatures ride along on the band rows, so
+    the popcount happens HERE and candidates leave the join already
+    verified — no signature re-join, no candidate-count barrier."""
+    a = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    b = batch["doc_id_r"].to_numpy(zero_copy_only=False).astype(np.int64)
+    keep = a < b
+    sa = batch["sig"].to_numpy(zero_copy_only=False).astype(np.int64)[keep]
+    sb = batch["sig_r"].to_numpy(zero_copy_only=False).astype(np.int64)[keep]
+    ham = _popcount64(sa.view(np.uint64) ^ sb.view(np.uint64))
+    k2 = ham <= SIMHASH_HAM_T
+    return pa.table({"doc_lo": _i64(a[keep][k2]), "doc_hi": _i64(b[keep][k2]),
+                     "hamming": _i64(ham[k2])})
+
+
+def simhash_pairs_documents(sf_dir: str, scheme: str = "auto"):
+    """Doc pairs whose 64-bit simhashes differ in <= SIMHASH_HAM_T bits,
+    among pairs sharing at least one band bucket.
+
+    Plan: ONE map_batches computes signatures and band rows (sig carried as
+    a 4th int64 column), ONE self-join on (band, key) whose emit kernel
+    popcounts and filters — the r2/r3 3-join chain and its ``cand.count()``
+    barrier are gone.
+
+    ``scheme``: ``"b16"`` = 4 disjoint 16-bit blocks (cheap, 4 rows/doc;
+    bucket space 2^16/band — fine up to ~SIMHASH_B16_MAX_DOCS docs);
+    ``"prefix"`` = 20 permuted-prefix tables with ~33-bit keys (Manku et
+    al. 2007 — the 100 TB path: bucket occupancy stays O(1));
+    ``"auto"`` picks by corpus row count (parquet metadata, no scan).
+    Both guarantee candidacy at hamming <= 3 and are heuristic in (3,
+    SIMHASH_HAM_T]; approximate by design -> driver check is rows-only,
+    pytest pins recall + scheme agreement on planted dups.
     """
-    def sig_rows(batch: pa.Table) -> pa.Table:
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+    if scheme == "auto":
+        scheme = "b16" if docs.count() <= SIMHASH_B16_MAX_DOCS else "prefix"
+    keys_fn, n_tables = ((_simhash_keys_b16, 4) if scheme == "b16"
+                         else (_simhash_keys_prefix, len(_PFX_COMBOS)))
+
+    def band_rows(batch: pa.Table) -> pa.Table:
         doc = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         sigs = simhash_batch(batch)
-        return pa.table({"doc_id": _i64(doc),
-                         "sig": pa.array(sigs.view(np.int64), type=pa.int64())})
-
-    # materialized: consumed FOUR times (both band self-join sides + both
-    # hamming-verify join sides) — unmaterialized, Ray would recompute the
-    # signature pass per consumer (rows are 2 int64 columns)
-    sig_ds = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
-        sig_rows, batch_format="pyarrow", zero_copy_batch=True).materialize()
-
-    def bands(batch: pa.Table) -> pa.Table:
-        doc = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        sig = batch["sig"].to_numpy(zero_copy_only=False).view(np.uint64)
+        keys = keys_fn(sigs)
         n = len(doc)
         return pa.table({
-            "doc_id": _i64(np.repeat(doc, 4)),
-            "band": _i64(np.tile(np.arange(4, dtype=np.int64), n)),
-            "key": _i64(((sig[:, None] >> (np.arange(4, dtype=np.uint64) * np.uint64(16)))
-                         & np.uint64(0xFFFF)).astype(np.int64).reshape(-1)),
+            "doc_id": _i64(np.repeat(doc, n_tables)),
+            "band": _i64(np.tile(np.arange(n_tables, dtype=np.int64), n)),
+            "key": _i64(keys.reshape(-1)),
+            "sig": pa.array(np.repeat(sigs.view(np.int64), n_tables),
+                            type=pa.int64()),
         })
 
     # materialized: the self-join consumes the band rows as BOTH sides, and
     # Ray re-executes lazy lineage per consumer (same reasoning as the
     # minhash and embedding-LSH band materializations)
-    band_rows = sig_ds.map_batches(bands, batch_format="pyarrow",
-                                   zero_copy_batch=True).materialize()
-    cand = _maybe_barrier(_pairs_via_self_join(band_rows, ("band", "key")))
-
-    # hamming verify via two signature joins (no driver-side state);
-    # partitions sized to the materialized candidate count (see
-    # _verify_pairs_exact_jaccard)
-    p = sized_parallelism(cand.count())
-    lo_side = cand.join(
-        sig_ds.map_batches(lambda b: b.rename_columns(["doc_lo", "sig_lo"]),
-                           batch_format="pyarrow", zero_copy_batch=True),
-        "inner", p, on=("doc_lo",))
-    both = lo_side.join(
-        sig_ds.map_batches(lambda b: b.rename_columns(["doc_hi", "sig_hi"]),
-                           batch_format="pyarrow", zero_copy_batch=True),
-        "inner", p, on=("doc_hi",))
-
-    def verify(batch: pa.Table) -> pa.Table:
-        a = batch["sig_lo"].to_numpy(zero_copy_only=False).view(np.uint64)
-        b = batch["sig_hi"].to_numpy(zero_copy_only=False).view(np.uint64)
-        x = a ^ b
-        ham = np.zeros(len(x), dtype=np.int64)
-        for _ in range(64):
-            ham += (x & np.uint64(1)).astype(np.int64)
-            x = x >> np.uint64(1)
-        keep = ham <= SIMHASH_HAM_T
-        return pa.table({
-            "doc_lo": _i64(batch["doc_lo"].to_numpy(zero_copy_only=False)[keep]),
-            "doc_hi": _i64(batch["doc_hi"].to_numpy(zero_copy_only=False)[keep]),
-            "hamming": _i64(ham[keep]),
-        })
-
-    return both.map_batches(verify, batch_format="pyarrow", zero_copy_batch=True)
+    rows = docs.map_batches(band_rows, batch_format="pyarrow",
+                            zero_copy_batch=True).materialize()
+    return _pairs_via_self_join(rows, ("band", "key"),
+                                emit=_simhash_emit, extra_cols=("hamming",))
 
 
 # ---------------------------------------------------------------------------
@@ -963,10 +1016,26 @@ def embedding_neardup_lsh_pairs(sf_dir: str):
                 size=(EMB_LSH_TABLES, d, EMB_LSH_BITS))
         return _H_cache[d]
 
+    def packed(batch: pa.Table) -> pa.Table:
+        vec, Y, n2 = _scaled_vec_batch(batch)
+        return pa.table({"vec_id": _i64(vec), "svb": _pack_i64_rows(Y),
+                         "n2": _i64(n2)})
+
+    # ONE parquet scan (VERDICT r3 #4): the packed scaled-vector table is
+    # materialized once and feeds BOTH the band generation and the two
+    # verify-join sides (band rows are re-derived from the object-store
+    # copy, never from a second file read)
+    vecs = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                           columns=["vec_id", "embedding"]).map_batches(
+        packed, batch_format="pyarrow", zero_copy_batch=True).materialize()
+
     def band_rows(batch: pa.Table) -> pa.Table:
-        vec, Y, _ = _scaled_vec_batch(batch)
+        vec = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         n = len(vec)
-        Yf = Y.astype(np.float64)
+        if n == 0:
+            return pa.table({"doc_id": _i64([]), "band": _i64([]),
+                             "bucket": _i64([])})
+        Yf = _unpack_i64_rows(batch["svb"]).astype(np.float64)
         H = _hyperplanes(Yf.shape[1])
         codes = np.empty((n, EMB_LSH_TABLES), dtype=np.int64)
         for t in range(EMB_LSH_TABLES):
@@ -979,20 +1048,9 @@ def embedding_neardup_lsh_pairs(sf_dir: str):
 
     # materialized: the self-join consumes the band rows as both sides
     # (see minhash_lsh_pairs_documents — same per-consumer re-execution)
-    bands = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
-                            columns=["vec_id", "embedding"]).map_batches(
-        band_rows, batch_format="pyarrow", zero_copy_batch=True).materialize()
+    bands = vecs.map_batches(band_rows, batch_format="pyarrow",
+                             zero_copy_batch=True).materialize()
     cand = _maybe_barrier(_pairs_via_self_join(bands, ("band", "bucket")))
-
-    def packed(batch: pa.Table) -> pa.Table:
-        vec, Y, n2 = _scaled_vec_batch(batch)
-        return pa.table({"vec_id": _i64(vec), "svb": _pack_i64_rows(Y),
-                         "n2": _i64(n2)})
-
-    # materialized: both verify-join sides read the packed vectors
-    vecs = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
-                           columns=["vec_id", "embedding"]).map_batches(
-        packed, batch_format="pyarrow", zero_copy_batch=True).materialize()
     p = sized_parallelism(cand.count())
     lo_side = cand.join(
         vecs.map_batches(lambda b: b.rename_columns(["doc_lo", "svb_lo", "n2_lo"]),
