@@ -138,3 +138,14 @@ def test_vectorized_decode_speedup_on_64k_blob():
     scalar = best(lambda: gorilla._decode_dod_scalar(enc, 65536), 1)
     assert np.array_equal(gorilla.decode_dod(enc, 65536), vals)
     assert scalar / vec >= 10, f"dod speedup only {scalar / vec:.1f}x"
+
+
+def test_decode_xor_rejects_corrupt_lead_mb():
+    """A blob whose XOR header claims lead + meaningful > 64 must raise,
+    not underflow the trailing-shift into garbage output (ADVICE r3)."""
+    first = np.array([1.5]).view(np.uint64)
+    codes = np.array([first[0], (1 << 11) | (31 << 6) | 40, 0], dtype=np.uint64)
+    nbits = np.array([64, 12, 40], dtype=np.int64)
+    blob = gorilla.pack_bits(codes, nbits)
+    with pytest.raises(ValueError, match="lead"):
+        gorilla.decode_xor(blob, 2)

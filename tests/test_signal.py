@@ -107,3 +107,19 @@ def test_mean_by_window_on_arrow_slice():
     got = sg.seg_mean_by_window(vals, offs, [3], 4)
     want = np.stack([oracle.mean_by_window(r, [3], 4) for r in rows[1:]])
     assert np.allclose(got, want, equal_nan=True)
+
+
+@pytest.mark.parametrize("lag", [0, 2])
+def test_crosscorr_int_matches_float_kernel(lag):
+    """crosscorr_int_2d's num/(sqrt(nv)*sqrt(nw)) is the same normalized
+    cross-correlation as crosscorr_2d against the integer test signal
+    (centering-by-d cancels in the normalization)."""
+    rng = np.random.default_rng(11)
+    V = rng.integers(-1_000_000, 1_000_000, size=(20, 64), dtype=np.int64)
+    num, nv, nw = sg.crosscorr_int_2d(V, lag)
+    d = V.shape[1]
+    w = (((np.arange(d) * 37 + 11) % 101) - 50).astype(np.float64)
+    want = sg.crosscorr_2d(V.astype(np.float64), w, lag)
+    got = num.astype(np.float64) / (np.sqrt(nv.astype(np.float64))[:, None]
+                                    * np.sqrt(float(nw)))
+    assert np.allclose(got, want, atol=1e-12)

@@ -327,3 +327,18 @@ def test_quantile_by_key_recursion_path(ray_session, monkeypatch):
         p = {"p50": 0.5, "p90": 0.9, "p99": 0.99}[row["q"]]
         want = vals[math.ceil(p * len(vals)) - 1]
         assert row["value"] == want, (row["event_type"], row["q"])
+
+
+def test_seasonal_hod_rejects_pre_epoch(ray_session, tmp_path):
+    """Negative epoch-us would make numpy's floored % give hod in [0,24)
+    while the SQL twin's truncated % goes negative — the kernel must refuse
+    loudly like its queries6 siblings (ADVICE r3)."""
+    import ray
+
+    from thunder_ray.pipelines.queries6 import seasonal_hod_events
+
+    _write_events(tmp_path,
+                  np.array([-3_600_000_000, 7_200_000_000], dtype=np.int64),
+                  ["a", "a"], [1.0, 2.0])
+    with pytest.raises(ray.exceptions.RayTaskError, match="pre-epoch"):
+        seasonal_hod_events(str(tmp_path)).to_pandas()

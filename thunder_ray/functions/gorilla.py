@@ -357,6 +357,11 @@ def decode_xor(data: bytes, n: int) -> np.ndarray:
     shift = np.where(valid, mb[:, None] - 1 - np.arange(64, dtype=np.int64)[None, :], 0)
     payload = ((bp[idx].astype(np.uint64) * valid.astype(np.uint64))
                << shift.astype(np.uint64)).sum(axis=1, dtype=np.uint64)
+    if np.any(lead + mb > 64):
+        # a foreign/corrupt blob would otherwise underflow trail to a huge
+        # uint64 and the payload shift would be out-of-range garbage —
+        # refuse loudly like the codec's other malformed-input paths
+        raise ValueError("gorilla: corrupt XOR block (lead + meaningful > 64)")
     trail = (64 - lead - mb).astype(np.uint64)
     xors = np.zeros(m, dtype=np.uint64)
     xors[nz] = payload << trail

@@ -516,8 +516,10 @@ FROM flat GROUP BY doc_id
 
 
 # ---------------------------------------------------------------------------
-# Rows-only signal queries (floats not exactly reproducible in SQL: FFT,
-# normalized crosscorr, convolution — pinned to the NumPy oracle in pytest)
+# Signal queries.  fourier stays rows-only (FFT floats are not reproducible
+# in SQL); convolve / crosscorr run on SCALED INTEGERS (VERDICT r3 #4) so
+# their outputs are exact and the DuckDB twins hash-match — the float-kernel
+# variants remain pinned to the NumPy oracle in tests/test_signal.py.
 
 def fourier_embeddings(sf_dir: str, freq: int = 3):
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
@@ -536,39 +538,107 @@ def fourier_embeddings(sf_dir: str, freq: int = 3):
 
 
 def crosscorr_embeddings(sf_dir: str, lag: int = 2):
+    """Normalized cross-correlation at lags -lag..+lag against the
+    pure-integer test signal w[q] = ((q*37+11) % 101) - 50, on v =
+    floor(x*1e6): ``num`` is an exact int64 (signal.crosscorr_int_2d) and
+    ``xcorr`` is the ONE fixed float expression num/(sqrt(nv)*sqrt(nw)) —
+    bit-identical to the SQL twin."""
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
 
     def f(batch: pa.Table) -> pa.Table:
         vals, offs = lk.list_parts(batch["embedding"])
         Y = sg.as_2d(vals.astype(np.float64), offs)
-        sig = np.sin(np.arange(Y.shape[1], dtype=np.float64))  # fixed test signal
-        C = sg.crosscorr_2d(Y, sig, lag)
-        n, w = C.shape
+        V = np.floor(Y * 1e6).astype(np.int64)
+        num, nv, nw = sg.crosscorr_int_2d(V, lag)
+        n, w = num.shape
+        xc = num.astype(np.float64) / (
+            np.sqrt(nv.astype(np.float64))[:, None] * np.sqrt(float(nw)))
         return pa.table({
             "vec_id": _i64(np.repeat(batch["vec_id"].to_numpy(zero_copy_only=False), w)),
             "lag": _i64(np.tile(np.arange(-lag, lag + 1, dtype=np.int64), n)),
-            "xcorr": pa.array(C.reshape(-1)),
+            "num": _i64(num.reshape(-1)),
+            "xcorr": pa.array(xc.reshape(-1)),
         })
 
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
 
+CROSSCORR_EMB_SQL = """
+WITH flat AS (
+  SELECT vec_id, pos,
+         CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS v,
+         CAST(d AS BIGINT) AS d
+  FROM (SELECT vec_id, unnest(embedding) AS x,
+               unnest(range(len(embedding))) AS pos,
+               len(embedding) AS d FROM embeddings)
+),
+sums AS (SELECT vec_id, CAST(SUM(v) AS BIGINT) AS sv, MAX(d) AS d
+         FROM flat GROUP BY vec_id),
+cent AS (SELECT f.vec_id, f.pos, f.d * f.v - s.sv AS vc
+         FROM flat f JOIN sums s USING (vec_id)),
+wflat AS (SELECT vec_id, pos, ((pos * 37 + 11) % 101) - 50 AS w FROM flat),
+wsums AS (SELECT vec_id, CAST(SUM(w) AS BIGINT) AS sw FROM wflat GROUP BY vec_id),
+wcent AS (SELECT wf.vec_id, wf.pos, s.d * wf.w - ws.sw AS wc
+          FROM wflat wf JOIN sums s USING (vec_id) JOIN wsums ws ON ws.vec_id = wf.vec_id),
+lags AS (SELECT unnest([-2, -1, 0, 1, 2]) AS lag),
+num AS (
+  SELECT c.vec_id, l.lag, CAST(SUM(c.vc * w.wc) AS BIGINT) AS num
+  FROM cent c CROSS JOIN lags l
+       JOIN wcent w ON w.vec_id = c.vec_id AND w.pos = c.pos - l.lag
+  GROUP BY c.vec_id, l.lag
+),
+norms AS (SELECT vec_id, CAST(SUM(vc * vc) AS BIGINT) AS nv FROM cent GROUP BY vec_id),
+wnorms AS (SELECT vec_id, CAST(SUM(wc * wc) AS BIGINT) AS nw FROM wcent GROUP BY vec_id)
+SELECT CAST(n.vec_id AS BIGINT) AS vec_id, CAST(n.lag AS BIGINT) AS lag,
+       n.num AS num,
+       CAST(n.num AS DOUBLE) / (sqrt(CAST(no.nv AS DOUBLE)) * sqrt(CAST(wn.nw AS DOUBLE))) AS xcorr
+FROM num n JOIN norms no ON no.vec_id = n.vec_id
+           JOIN wnorms wn ON wn.vec_id = n.vec_id
+"""
+
+
 def convolve_embeddings(sf_dir: str):
+    """Convolution (mode="same") with the dyadic kernel [0.25, 0.5, 0.25]
+    over v = floor(x*1e6): integer taps [1, 2, 1] through signal.convolve_2d
+    (exact — sums stay far below 2^53), then ONE float division by 4e6.
+    Both columns are bit-identical to the SQL position-shift join twin."""
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    kernel = np.array([0.25, 0.5, 0.25])
+    kernel = np.array([1.0, 2.0, 1.0])
 
     def f(batch: pa.Table) -> pa.Table:
         vals, offs = lk.list_parts(batch["embedding"])
         Y = sg.as_2d(vals.astype(np.float64), offs)
-        C = sg.convolve_2d(Y, kernel, mode="same")
+        V = np.floor(Y * 1e6)
+        C = sg.convolve_2d(V, kernel, mode="same")
+        num = C.astype(np.int64)
         n, d = C.shape
         return pa.table({
             "vec_id": _i64(np.repeat(batch["vec_id"].to_numpy(zero_copy_only=False), d)),
             "pos": _i64(np.tile(np.arange(d, dtype=np.int64), n)),
-            "smoothed": pa.array(C.reshape(-1)),
+            "num": _i64(num.reshape(-1)),
+            "smoothed": pa.array(num.astype(np.float64).reshape(-1) / 4e6),
         })
 
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+CONVOLVE_EMB_SQL = """
+WITH flat AS (
+  SELECT vec_id, pos, CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS v
+  FROM (SELECT vec_id, unnest(embedding) AS x,
+               unnest(range(len(embedding))) AS pos FROM embeddings)
+),
+conv AS (
+  SELECT a.vec_id, a.pos,
+         CAST(SUM(b.v * (CASE WHEN a.pos = b.pos THEN 2 ELSE 1 END)) AS BIGINT) AS num
+  FROM flat a JOIN flat b
+    ON a.vec_id = b.vec_id AND abs(a.pos - b.pos) <= 1
+  GROUP BY a.vec_id, a.pos
+)
+SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(pos AS BIGINT) AS pos,
+       num, CAST(num AS DOUBLE) / 4000000.0 AS smoothed
+FROM conv
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -606,5 +676,7 @@ def build_oracle_sql2() -> dict:
         "squelch_sum_tokens": SQUELCH_SUM_SQL,
         "select_positions_tokens": SELECT_POSITIONS_SQL,
         "series_median_tokens": SERIES_MEDIAN_SQL,
-        # fourier / crosscorr / convolve: rows-only (see module docstring)
+        "crosscorr_embeddings": CROSSCORR_EMB_SQL,
+        "convolve_embeddings": CONVOLVE_EMB_SQL,
+        # fourier: rows-only (FFT floats not SQL-reproducible)
     }

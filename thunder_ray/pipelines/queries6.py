@@ -474,7 +474,10 @@ def spike_detect_1m(sf_dir: str, k: float = SPIKE_K):
     flag set is bit-deterministic)."""
     from .queries import rollup_documents_full
 
-    tier = rollup_documents_full(sf_dir, 60)
+    # prune to the 5 columns the flag expression reads (VERDICT r3 #6) —
+    # the groupby shuffle then moves no sum/sumsq/min/max payload
+    tier = rollup_documents_full(sf_dir, 60).select_columns(
+        ["source", "bucket", "count", "mean", "m2"])
 
     def per_source(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("bucket")
@@ -540,6 +543,11 @@ def seasonal_hod_events(sf_dir: str):
         if len(batch) == 0:
             return _EMPTY_HOD
         ts = _col(batch, "ts").astype("datetime64[us]").astype(np.int64)
+        if int(ts.min()) < 0:
+            # numpy's floored // and % would give hod in [0,24) while the
+            # SQL twin's truncated division goes negative — refuse loudly
+            # instead of silently diverging (ADVICE r3)
+            raise ValueError("seasonal_hod: pre-epoch timestamp")
         hod = (ts // 1_000_000 // 3600) % 24
         sv = np.floor(_col(batch, "value") * SCALE).astype(np.int64)
         et = _col(batch, "event_type")

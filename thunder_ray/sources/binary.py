@@ -49,12 +49,16 @@ def _keys_from_doc_ids(col) -> tuple[np.ndarray, str, int]:
     prefix = first[: len(first) - len(first_digits)]
     width = len(first_digits)
     if len(col):
-        ids = col.to_numpy(zero_copy_only=False)
-        dig = digits.to_numpy(zero_copy_only=False)
-        ok = np.fromiter(
-            ((i == f"{prefix}{g}" and len(g) == width)
-             for i, g in zip(ids, dig)), dtype=bool, count=len(ids))
+        # vectorized family check (ADVICE r3): id == prefix + digits AND a
+        # fixed digit width — Arrow kernels, no per-row Python on the write path
+        rebuilt = pc.binary_join_element_wise(
+            pa.repeat(prefix, len(col)).cast(pa.string()), digits, "")
+        ok = pc.fill_null(
+            pc.and_(pc.equal(col, rebuilt),
+                    pc.equal(pc.binary_length(digits), width)),
+            False).to_numpy(zero_copy_only=False).astype(bool)
         if not ok.all():
+            ids = col.to_numpy(zero_copy_only=False)
             bad = ids[~ok][:3].tolist()
             raise ValueError(
                 f"tobinary requires one doc_id family per block "

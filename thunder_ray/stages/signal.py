@@ -198,6 +198,34 @@ def correlate_2d(Y: np.ndarray, signal: np.ndarray) -> np.ndarray:
         return num / den
 
 
+def crosscorr_int_2d(V: np.ndarray, lag: int):
+    """Exact scaled-int cross-correlation numerators (the SQL-expressible
+    twin of :func:`crosscorr_2d`, VERDICT r3 #4 — same detrend-closed-form
+    trick: centering is multiplied through by d so everything stays int64).
+
+    ``V``: (n, d) int64 scaled values.  Test signal w[q] = ((q*37+11) % 101)
+    - 50 (pure-integer, reproducible in SQL).  With vc = d*V - rowsum(V) and
+    wc = d*w - sum(w):
+      num[:, i] = sum_p vc[:, p] * wc[p - L]   (L = i - lag, zero-padded)
+      nv = sum(vc^2) per row, nw = sum(wc^2)
+    and num / (sqrt(nv) * sqrt(nw)) equals crosscorr_2d(V, w, lag) exactly
+    in real arithmetic (both scale-invariant normalizations cancel d)."""
+    V = np.asarray(V, dtype=np.int64)
+    n, d = V.shape
+    w = (((np.arange(d, dtype=np.int64) * 37 + 11) % 101) - 50)
+    vc = d * V - V.sum(axis=1, dtype=np.int64)[:, None]
+    wc = d * w - w.sum(dtype=np.int64)
+    num = np.zeros((n, 2 * lag + 1), dtype=np.int64)
+    for i, L in enumerate(range(-lag, lag + 1)):
+        if L >= 0:
+            num[:, i] = vc[:, L:] @ wc[: d - L]
+        else:
+            num[:, i] = vc[:, : d + L] @ wc[-L:]
+    nv = np.einsum("ij,ij->i", vc, vc)
+    nw = int(wc @ wc)
+    return num, nv, nw
+
+
 def crosscorr_2d(Y: np.ndarray, signal: np.ndarray, lag: int = 0) -> np.ndarray:
     """Normalized cross-correlation at lags -lag..+lag per row (oracle.crosscorr)."""
     Y = np.asarray(Y, dtype=np.float64)
