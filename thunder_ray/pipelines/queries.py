@@ -773,6 +773,7 @@ def build_queries() -> dict:
     from .queries4 import build_queries4
     from .queries5 import build_queries5
     from .queries6 import build_queries6
+    from .queries7 import build_queries7
     from .textops import build_textops_queries
 
     return {
@@ -782,6 +783,7 @@ def build_queries() -> dict:
         **build_queries4(),
         **build_queries5(),
         **build_queries6(),
+        **build_queries7(),
         **build_textops_queries(),
         **build_dedup_queries(),
         **build_ann_queries(),
@@ -818,6 +820,7 @@ def build_oracle_sql() -> dict:
     from .queries4 import build_oracle_sql4
     from .queries5 import build_oracle_sql5
     from .queries6 import build_oracle_sql6
+    from .queries7 import build_oracle_sql7
     from .textops import build_textops_sql
 
     return {
@@ -827,6 +830,7 @@ def build_oracle_sql() -> dict:
         **build_oracle_sql4(),
         **build_oracle_sql5(),
         **build_oracle_sql6(),
+        **build_oracle_sql7(),
         **build_textops_sql(),
         **build_dedup_sql(),
         **build_ann_sql(),

@@ -608,25 +608,32 @@ GROUP BY event_type, hod
 
 def quantile_by_key_events(sf_dir: str, ps=None):
     """Exact percentile_disc per event_type — the grouped generalization of
-    queries5.quantile_events.  One 12-bit histogram scan covers ALL keys at
+    queries5.quantile_events (see :func:`grouped_disc_quantiles`)."""
+    import ray.data as rd
+
+    from .queries5 import QUANTILE_PS
+
+    if ps is None:
+        ps = QUANTILE_PS
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+    return grouped_disc_quantiles(ds, ps)
+
+
+def grouped_disc_quantiles(ds, ps):
+    """Exact percentile_disc per key over a (event_type, value float64)
+    Dataset.  One 12-bit histogram scan covers ALL keys at
     once (per-batch (key, bin) partial counts -> keyed groupby -> <=
     keys x 4096 driver rows), then ONE collection scan grabs every
     rank-containing (key, bin) cell together; the driver picks exact
     elements from the collected cells.  A pathologically hot cell falls
     back to queries5's per-rank 12-bit-prefix recursion on a key-filtered
     view — each level is a streaming scan, never a sort."""
-    import ray.data as rd
     from ray.data.aggregate import Sum
 
-    from .queries5 import (QUANTILE_COLLECT_MAX, QUANTILE_PS, _ordered_u64,
-                           _select_rank)
+    from .queries5 import QUANTILE_COLLECT_MAX, _ordered_u64, _select_rank
 
-    if ps is None:
-        ps = QUANTILE_PS
     import math
-
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
-                         columns=["event_type", "value"])
 
     def hist_partial(batch: pa.Table) -> pa.Table:
         if len(batch) == 0:
