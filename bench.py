@@ -278,6 +278,30 @@ _SUMMARY_MARK = "## Scaling evidence (bench.py --scaling)"
 _LOG_MARK = "## Scaling measurement log (append-only, every window kept)"
 
 
+def _pooled_stats(log_text: str, n: int, n4: int) -> dict | None:
+    """Distribution-level statistics over EVERY canonical window in the
+    append-only log (ADVICE r3 #1: the headline must be pooled, not
+    latest-window — a favorable last run must not pick the narrative).
+    Parses the machine-written 'Pair efficiencies: [...] -> median **x**'
+    lines under canonical `cpus {n} vs {n4}` window headers."""
+    import re
+
+    window_medians, all_pairs = [], []
+    for m in re.finditer(
+            rf"### Window [^\n]*cpus {n} vs {n4}\)\n\nPair efficiencies: "
+            rf"(\[[^\]]*\]) -> median \*\*([0-9.]+)\*\*", log_text):
+        all_pairs.extend(json.loads(m.group(1)))
+        window_medians.append(float(m.group(2)))
+    if not window_medians:
+        return None
+    return {
+        "windows": len(window_medians),
+        "median_of_window_medians": round(_median(window_medians), 3),
+        "pooled_pair_median": round(_median(all_pairs), 3),
+        "pairs": len(all_pairs),
+    }
+
+
 def _update_baseline_md(result: dict):
     """Replace the SUMMARY section with the latest CANONICAL window (the
     8-vs-32 protocol BASELINE.json implies); APPEND every window — canonical
@@ -289,7 +313,8 @@ def _update_baseline_md(result: dict):
     n, n4 = result["num_cpus"]
     canonical = (4 * n == DEFAULT_CPUS)
     lo0 = result["runs_low"][0]
-    summary = (
+    summary = (  # pooled line injected below once the full log text exists
+
         f"{_SUMMARY_MARK}\n\n"
         f"Protocol: pairwise-INTERLEAVED fresh-process runs (arm order alternated "
         f"each pair) of the identical headline job ({lo0['rows']} docs, "
@@ -346,6 +371,21 @@ def _update_baseline_md(result: dict):
         # a supplementary window must never replace the canonical summary —
         # keep the existing one, or drop the summary entirely if none exists
         summary = existing_summary.rstrip() + "\n" if existing_summary else ""
+    else:
+        # Pooled, distribution-level headline over EVERY canonical window in
+        # the log INCLUDING this one (ADVICE r3 #1): report it ahead of the
+        # latest-window line so no single run picks the narrative.
+        pooled = _pooled_stats(tail + "\n" + log_entry, n, n4)
+        if pooled:
+            summary = summary.replace(
+                "Latest window:",
+                f"Pooled across ALL {pooled['windows']} canonical windows in "
+                f"the log (the headline statistic): median of window medians "
+                f"= **{pooled['median_of_window_medians']}**, pooled median "
+                f"of all {pooled['pairs']} individual pair efficiencies = "
+                f"**{pooled['pooled_pair_median']}** (north-rule target >= "
+                f"0.8; see the hardware-ceiling calibration below).\n\n"
+                "Latest window:", 1)
     text = head + summary + "\n" + tail.rstrip() + "\n\n" + log_entry
     with open(path, "w") as f:
         f.write(text)
