@@ -1,0 +1,204 @@
+"""Edge tests for pack 8: connected-components clustering, dedup apply,
+exact + HLL distinct, offline CUSUM, broadcast interval join.  (Bit-exact
+parity of the five SQL-twinned queries is covered by test_oracle_parity's
+full parametrization; these pin the algorithmic properties the twins
+can't.)"""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+SF01 = "/root/testdata/sf0.01"
+
+
+def _to_df(res) -> pd.DataFrame:
+    if isinstance(res, pd.DataFrame):
+        return res
+    return res.to_pandas()
+
+
+# ---------------------------------------------------------------------------
+# connected components
+
+def test_cc_min_label_chain_and_islands(ray_session):
+    import ray.data as rd
+
+    from thunder_ray.pipelines.queries8 import _cc_min_label
+
+    # two components: a 5-chain 10-11-12-13-14 (diameter 4 -> needs real
+    # iteration) and a triangle 20-21-22
+    pairs = [(10, 11), (11, 12), (12, 13), (13, 14),
+             (20, 21), (21, 22), (20, 22)]
+    src, dst = [], []
+    for a, b in pairs:
+        src += [a, b, a, b]
+        dst += [b, a, a, b]
+    edges = rd.from_arrow(pa.table({
+        "src": pa.array(src, type=pa.int64()),
+        "dst": pa.array(dst, type=pa.int64())})).materialize()
+    got = _cc_min_label(edges, len(src)).to_pandas().sort_values(
+        "src").reset_index(drop=True)
+    want = {10: 10, 11: 10, 12: 10, 13: 10, 14: 10, 20: 20, 21: 20, 22: 20}
+    assert dict(zip(got["src"], got["label"])) == want
+
+
+def test_dup_clusters_properties(ray_session):
+    from thunder_ray.pipelines.dedup import ngram_jaccard_pairs_documents
+    from thunder_ray.pipelines.queries8 import dup_clusters_documents
+
+    cl = _to_df(dup_clusters_documents(SF01))
+    pairs = _to_df(ngram_jaccard_pairs_documents(SF01))
+    # every pair endpoint is clustered, and paired docs share a cluster
+    lab = dict(zip(cl["doc_id"], cl["cluster"]))
+    for lo, hi in zip(pairs["doc_lo"], pairs["doc_hi"]):
+        assert lab[lo] == lab[hi]
+    # each cluster's label is its min member
+    assert (cl.groupby("cluster")["doc_id"].min().reset_index()
+            .pipe(lambda d: (d["cluster"] == d["doc_id"]).all()))
+    # membership = exactly the union of pair endpoints
+    assert set(cl["doc_id"]) == set(pairs["doc_lo"]) | set(pairs["doc_hi"])
+
+
+def test_dedup_apply_drops_non_canonical(ray_session):
+    import ray.data as rd
+
+    from thunder_ray.pipelines.queries8 import (dedup_apply_documents,
+                                                dup_clusters_documents)
+
+    kept = _to_df(dedup_apply_documents(SF01))
+    cl = _to_df(dup_clusters_documents(SF01))
+    total = rd.read_parquet(f"{SF01}/documents.parquet").count()
+    drops = set(cl[cl["doc_id"] != cl["cluster"]]["doc_id"])
+    assert len(kept) == total - len(drops)
+    assert not (set(kept["doc_id"]) & drops)
+
+
+def test_dedup_apply_groupby_fallback_matches_broadcast(ray_session,
+                                                        monkeypatch):
+    from thunder_ray.pipelines import queries8
+
+    base = _to_df(queries8.dedup_apply_documents(SF01))
+    monkeypatch.setattr(queries8, "DROP_BROADCAST_MAX", 0)
+    alt = _to_df(queries8.dedup_apply_documents(SF01))
+    pd.testing.assert_frame_equal(
+        base.sort_values("doc_id").reset_index(drop=True),
+        alt.sort_values(list(alt.columns)).sort_values("doc_id")
+           .reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# HLL
+
+def test_hll_raw_estimate_accuracy():
+    from thunder_ray.pipelines.queries8 import HLL_P, _hll_reg_rho
+
+    keys = np.arange(200_000, dtype=np.int64)  # distinct keys, raw regime
+    reg, rho = _hll_reg_rho(keys)
+    m = 1 << HLL_P
+    regs = np.zeros(m, dtype=np.int64)
+    np.maximum.at(regs, reg, rho)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    e = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    assert abs(e - len(keys)) / len(keys) < 0.05
+
+
+def test_hll_vs_exact_and_rebatching(ray_session):
+    from thunder_ray.pipelines.queries8 import (distinct_users_1h,
+                                                hll_distinct_users_1h)
+
+    exact = _to_df(distinct_users_1h(SF01)).set_index("bucket")[
+        "distinct_users"]
+    approx = _to_df(hll_distinct_users_1h(SF01)).set_index("bucket")[
+        "approx_distinct"]
+    assert set(exact.index) == set(approx.index)
+    rel = (approx - exact.astype(float)).abs() / exact
+    # sf0.01 buckets hold ~4-30 users -> linear-counting regime, tight
+    assert rel.max() < 0.1, rel.sort_values().tail()
+    # register construction is max-merge associative: same result when the
+    # whole input arrives as one batch per row ordering
+    again = _to_df(hll_distinct_users_1h(SF01)).set_index("bucket")[
+        "approx_distinct"]
+    pd.testing.assert_series_equal(approx.sort_index(), again.sort_index())
+
+
+def test_hour_bucket_pre_epoch_raises(ray_session):
+    from thunder_ray.pipelines.queries8 import _hour_bucket
+
+    batch = pa.table({"ts": pa.array(
+        [np.datetime64("1969-12-31T23:00:00", "us")])})
+    with pytest.raises(ValueError, match="pre-epoch"):
+        _hour_bucket(batch)
+
+
+# ---------------------------------------------------------------------------
+# CUSUM
+
+def test_cusum_numpy_oracle(ray_session):
+    from thunder_ray.pipelines.queries import rollup_documents_full
+    from thunder_ray.pipelines.queries8 import cusum_changepoint_1m
+
+    got = _to_df(cusum_changepoint_1m(SF)).set_index("source")
+    tier = rollup_documents_full(SF, 60).to_pandas()
+    for source, g in tier.groupby("source"):
+        g = g.sort_values("bucket")
+        s = g["sum"].to_numpy(np.int64)
+        c = g["count"].to_numpy(np.int64)
+        cs = np.cumsum(s * int(c.sum()) - int(s.sum()) * c)
+        i = int(np.argmax(np.abs(cs)))
+        assert got.loc[source, "bucket"] == g["bucket"].to_numpy()[i]
+        assert got.loc[source, "cusum"] == cs[i]
+
+
+def test_cusum_overflow_guard(ray_session):
+    from thunder_ray.pipelines.queries8 import cusum_changepoint_1m
+
+    big = pd.DataFrame({
+        "source": ["s"] * 3, "bucket": [0, 1, 2],
+        "count": np.array([1, 1, 1], dtype=np.int64),
+        "sum": np.array([1 << 61, 1, 2], dtype=np.int64)})
+    import ray.data as rd
+
+    from thunder_ray.pipelines import queries, queries8
+
+    key = ("fake", ("f",), 60)
+    queries._TIER_CACHE[key] = rd.from_pandas(big)
+    try:
+        orig = queries.rollup_documents_full
+        queries.rollup_documents_full = (
+            lambda sf, t: queries._TIER_CACHE[key])
+        with pytest.raises(Exception) as ei:
+            _to_df(queries8.cusum_changepoint_1m("fake"))
+        assert "overflow" in str(ei.value)
+    finally:
+        queries.rollup_documents_full = orig
+        del queries._TIER_CACHE[key]
+
+
+# ---------------------------------------------------------------------------
+# interval join
+
+def test_interval_join_halo_property(ray_session):
+    import duckdb
+
+    from thunder_ray.pipelines.queries8 import interval_join_hot_events
+
+    got = _to_df(interval_join_hot_events(SF01))
+    assert len(got) > 0
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM "
+            f"'{SF01}/events.parquet'")
+    cells = con.sql("""
+        SELECT event_type, (epoch_us(ts)//1000000)//3600 AS bucket,
+               COUNT(*) c FROM events GROUP BY 1,2""").df()
+    hot = cells[cells["c"] >= 2.0 * cells["c"].mean()]
+    hotset = set(zip(hot["event_type"], hot["bucket"]))
+    ev = con.sql("""
+        SELECT event_id, event_type,
+               (epoch_us(ts)//1000000)//3600 AS eb FROM events""").df()
+    eb = dict(zip(ev["event_id"], ev["eb"]))
+    for eid, et, wb in zip(got["event_id"], got["event_type"],
+                           got["w_bucket"]):
+        assert (et, wb) in hotset
+        assert abs(eb[eid] - wb) <= 1

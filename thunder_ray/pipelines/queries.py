@@ -774,6 +774,7 @@ def build_queries() -> dict:
     from .queries5 import build_queries5
     from .queries6 import build_queries6
     from .queries7 import build_queries7
+    from .queries8 import build_queries8
     from .textops import build_textops_queries
 
     return {
@@ -784,6 +785,7 @@ def build_queries() -> dict:
         **build_queries5(),
         **build_queries6(),
         **build_queries7(),
+        **build_queries8(),
         **build_textops_queries(),
         **build_dedup_queries(),
         **build_ann_queries(),
@@ -821,6 +823,7 @@ def build_oracle_sql() -> dict:
     from .queries5 import build_oracle_sql5
     from .queries6 import build_oracle_sql6
     from .queries7 import build_oracle_sql7
+    from .queries8 import build_oracle_sql8
     from .textops import build_textops_sql
 
     return {
@@ -831,6 +834,7 @@ def build_oracle_sql() -> dict:
         **build_oracle_sql5(),
         **build_oracle_sql6(),
         **build_oracle_sql7(),
+        **build_oracle_sql8(),
         **build_textops_sql(),
         **build_dedup_sql(),
         **build_ann_sql(),
