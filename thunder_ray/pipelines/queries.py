@@ -775,6 +775,7 @@ def build_queries() -> dict:
     from .queries6 import build_queries6
     from .queries7 import build_queries7
     from .queries8 import build_queries8
+    from .queries9 import build_queries9
     from .textops import build_textops_queries
 
     return {
@@ -786,6 +787,7 @@ def build_queries() -> dict:
         **build_queries6(),
         **build_queries7(),
         **build_queries8(),
+        **build_queries9(),
         **build_textops_queries(),
         **build_dedup_queries(),
         **build_ann_queries(),
@@ -824,6 +826,7 @@ def build_oracle_sql() -> dict:
     from .queries6 import build_oracle_sql6
     from .queries7 import build_oracle_sql7
     from .queries8 import build_oracle_sql8
+    from .queries9 import build_oracle_sql9
     from .textops import build_textops_sql
 
     return {
@@ -835,6 +838,7 @@ def build_oracle_sql() -> dict:
         **build_oracle_sql6(),
         **build_oracle_sql7(),
         **build_oracle_sql8(),
+        **build_oracle_sql9(),
         **build_textops_sql(),
         **build_dedup_sql(),
         **build_ann_sql(),

@@ -457,6 +457,13 @@ def interval_join_hot_events(sf_dir: str):
     # driver collect of the SMALL broadcast side only (rolled-point scale,
     # same precedent as queries5's rolled-point collects / ann's query set)
     hw = hot.to_pandas()
+    if len(hw) == 0:
+        # no cell clears the threshold (legitimate on uniform data; the
+        # SQL twin returns 0 rows too) — an empty Ray dataset drops its
+        # schema through to_pandas, so short-circuit with a typed table
+        return pa.table({"event_id": _i64([]),
+                         "event_type": pa.array([], type=pa.string()),
+                         "w_bucket": _i64([])})
     types = np.sort(hw["event_type"].unique())
     tcode = {t: i for i, t in enumerate(types)}
     packed = np.sort(hw["event_type"].map(tcode).to_numpy(np.int64) << 40

@@ -1,0 +1,279 @@
+"""Training-data pipeline operators, pack 9 (engine additions, round 4):
+Gopher-style per-document repetition signals, robust MAD-fence outlier
+flagging over raw events, and LTTB visualization downsampling per source.
+
+Scale notes:
+- ``repetition_signals``: per-record, zero-shuffle — one vectorized kernel
+  per batch (Arrow split + np.unique codes + segmented run-length scans).
+  The signals are the word-level duplicate fraction and top-bigram
+  fraction used as corpus quality filters (cf. Rae et al., Gopher, 2021
+  — re-derived here as exact integer counts so the DuckDB twin is
+  bit-exact).
+- ``robust_outliers``: the raw stream is FILTERED, never shuffled — the
+  per-key (median, MAD) fence map comes from queries7's two
+  grouped-selection passes (#keys-sized), ships once via ``ray.put``,
+  and each batch flags with vectorized searchsorted lookups.  The fence
+  comparison is exact-int (scaled values), so the flag set is
+  bit-deterministic.
+- ``lttb_downsample_1m``: consumes the cached 1m tier (rolled-point
+  scale), one greedy Largest-Triangle-Three-Buckets pass per source
+  group (Steinarsson, MSc thesis 2013).  Inherently sequential per key
+  — the same per-key map_groups shape as spike/cusum — and not
+  SQL-expressible (each pick depends on the previous), so the driver
+  check is rows-only; pytest pins it to an independent naive
+  reimplementation plus structural properties.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+OUTLIER_K = 3          # fence: |sv - median| > OUTLIER_K * MAD
+LTTB_POINTS = 20       # output points per source (incl. both endpoints)
+
+
+def _i64(arr) -> pa.Array:
+    return pa.array(np.asarray(arr, dtype=np.int64), type=pa.int64())
+
+
+def _col(batch: pa.Table, name: str) -> np.ndarray:
+    return batch[name].to_numpy(zero_copy_only=False)
+
+
+# ---------------------------------------------------------------------------
+# Per-document repetition signals
+
+def repetition_signals_documents(sf_dir: str):
+    """Per doc: word count, words belonging to repeated types, the top
+    bigram's occurrence count, and the two derived fractions — exact ints
+    plus one fixed float division each, so the twin hash-matches."""
+    import ray.data as rd
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        words = pc.split_pattern(batch["text"], " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        n = np.diff(words.offsets.to_numpy(zero_copy_only=False)).astype(
+            np.int64)
+        flat = np.asarray(pc.list_flatten(words))
+        ndocs = len(batch)
+        doc_idx = np.repeat(np.arange(ndocs, dtype=np.int64), n)
+        codes, inv = np.unique(flat, return_inverse=True)
+        if len(codes) >= 1 << 31:
+            raise ValueError("repetition: batch vocabulary exceeds packing "
+                             "range — lower batch_size")
+        inv = inv.astype(np.int64)
+
+        # duplicate-word mass per doc: run lengths over sorted (doc, word)
+        key = doc_idx << 31 | inv            # doc_idx < 2^32 within a batch
+        ks = np.sort(key)
+        starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+        runs = np.diff(np.append(starts, len(ks)))
+        dup = np.zeros(ndocs, dtype=np.int64)
+        np.add.at(dup, (ks[starts] >> 31)[runs > 1], runs[runs > 1])
+
+        # top bigram count per doc: run lengths over sorted (doc, w_i, w_i+1)
+        top2 = np.zeros(ndocs, dtype=np.int64)
+        same = doc_idx[1:] == doc_idx[:-1]
+        if same.any():
+            bdoc = doc_idx[:-1][same]
+            bpair = inv[:-1][same] << 31 | inv[1:][same]
+            o = np.lexsort((bpair, bdoc))
+            bd, bp = bdoc[o], bpair[o]
+            bs = np.flatnonzero(np.r_[True, (bd[1:] != bd[:-1]) |
+                                      (bp[1:] != bp[:-1])])
+            bruns = np.diff(np.append(bs, len(bd)))
+            np.maximum.at(top2, bd[bs], bruns)
+
+        dup_frac = dup.astype(np.float64) / n
+        top2_frac = np.where(n >= 2, top2 / np.maximum(n - 1, 1), 0.0)
+        return pa.table({
+            "doc_id": _i64(_col(batch, "doc_id")),
+            "n_words": _i64(n),
+            "dup_words": _i64(dup),
+            "top2_cnt": _i64(top2),
+            "dup_word_frac": pa.array(dup_frac),
+            "top2_frac": pa.array(top2_frac),
+        })
+
+    return docs.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+REPETITION_SQL = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+u AS (SELECT doc_id, len(words) AS nw, unnest(words) AS word FROM w),
+wc AS (SELECT doc_id, MIN(nw) AS nw, word, COUNT(*) AS c
+       FROM u GROUP BY doc_id, word),
+dup AS (SELECT doc_id, MIN(nw) AS nw,
+               CAST(COALESCE(SUM(c) FILTER (WHERE c > 1), 0) AS BIGINT)
+                 AS dup_words
+        FROM wc GROUP BY doc_id),
+bi AS (SELECT doc_id,
+              words[CAST(i AS INT) + 1] || ' ' || words[CAST(i AS INT) + 2]
+                AS g
+       FROM (SELECT doc_id, words, unnest(range(len(words) - 1)) AS i
+             FROM w WHERE len(words) >= 2)),
+bc AS (SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top2
+       FROM (SELECT doc_id, g, COUNT(*) AS c FROM bi GROUP BY doc_id, g)
+       GROUP BY doc_id)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id, CAST(nw AS BIGINT) AS n_words,
+       dup_words, CAST(COALESCE(top2, 0) AS BIGINT) AS top2_cnt,
+       CAST(dup_words AS DOUBLE) / nw AS dup_word_frac,
+       CASE WHEN nw >= 2 THEN CAST(COALESCE(top2, 0) AS DOUBLE) / (nw - 1)
+            ELSE 0.0 END AS top2_frac
+FROM dup d LEFT JOIN bc USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Robust MAD-fence outliers over raw events
+
+def robust_outliers_events(sf_dir: str):
+    """Events whose scaled value sits more than OUTLIER_K MADs from their
+    key's disc-median — the robust sibling of anomaly_3sigma: fence map
+    from queries7's grouped selection (keys-scale), broadcast once,
+    exact-int comparison per batch."""
+    import ray
+    import ray.data as rd
+
+    from .queries7 import mad_by_key_events
+
+    fences = mad_by_key_events(sf_dir)           # keys-scale DataFrame
+    keys = fences["event_type"].to_numpy()       # sorted by construction
+    ref = ray.put((keys,
+                   fences["median_scaled"].to_numpy(np.int64),
+                   fences["mad_scaled"].to_numpy(np.int64)))
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "event_type", "value"])
+
+    def flag(batch: pa.Table) -> pa.Table:
+        k, med, mad = ray.get(ref)
+        et = _col(batch, "event_type")
+        sv = np.floor(_col(batch, "value").astype(np.float64)
+                      * 1e6).astype(np.int64)
+        idx = np.searchsorted(k, et)
+        idx[idx == len(k)] = 0
+        if len(k) == 0 or not (k[idx] == et).all():
+            raise ValueError("robust_outliers: event_type missing from "
+                             "fence map")
+        m = np.abs(sv - med[idx]) > OUTLIER_K * mad[idx]
+        return pa.table({
+            "event_id": _i64(_col(batch, "event_id")[m]),
+            "event_type": pa.array(et[m], type=pa.string()),
+            "sv": _i64(sv[m]),
+        })
+
+    return ev.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True)
+
+
+ROBUST_OUTLIERS_SQL = f"""
+WITH s AS (SELECT event_id, event_type,
+                  CAST(floor(value * 1000000) AS BIGINT) AS sv FROM events),
+med AS (SELECT event_type,
+               percentile_disc(0.5) WITHIN GROUP (ORDER BY sv) AS med
+        FROM s GROUP BY 1),
+mad AS (SELECT s.event_type,
+               CAST(percentile_disc(0.5) WITHIN GROUP
+                    (ORDER BY abs(s.sv - m.med)) AS BIGINT) AS mad
+        FROM s JOIN med m USING (event_type) GROUP BY s.event_type)
+SELECT CAST(s.event_id AS BIGINT) AS event_id, s.event_type, s.sv
+FROM s JOIN med USING (event_type) JOIN mad USING (event_type)
+WHERE abs(s.sv - med.med) > {OUTLIER_K} * mad.mad
+"""
+
+
+# ---------------------------------------------------------------------------
+# LTTB downsampling per source over the 1m tier
+
+def lttb(x: np.ndarray, y: np.ndarray, n_out: int) -> np.ndarray:
+    """Indices chosen by Largest-Triangle-Three-Buckets (Steinarsson 2013)
+    over (x, y); keeps both endpoints; n_out >= 3.  Greedy and sequential
+    by definition — per-key kernel, not a distributed op."""
+    n = len(x)
+    if n <= n_out:
+        return np.arange(n)
+    # edges[i] = start of interior bucket i; n_out - 2 interior buckets
+    edges = np.linspace(1, n - 1, n_out - 1).astype(np.int64)
+    out = np.empty(n_out, dtype=np.int64)
+    out[0] = 0
+    a = 0
+    for i in range(n_out - 2):
+        lo, hi = edges[i], edges[i + 1]        # current bucket [lo, hi)
+        nlo = edges[i + 1]                     # next bucket [nlo, nhi)
+        nhi = edges[i + 2] if i < n_out - 3 else n
+        cx = x[nlo:nhi].mean()                 # next bucket's average point
+        cy = y[nlo:nhi].mean()                 # is the third triangle corner
+        xs, ys = x[lo:hi], y[lo:hi]
+        area = np.abs((x[a] - cx) * (ys - y[a]) - (x[a] - xs) * (cy - y[a]))
+        a = lo + int(np.argmax(area))          # first max: deterministic
+        out[i + 1] = a
+    out[-1] = n - 1
+    return out
+
+
+def lttb_downsample_events(sf_dir: str, n_out: int = LTTB_POINTS):
+    """LTTB visual downsample of each event_type's (ts, value) series —
+    the perceptual sibling of m4_downsample (the exact min/max envelope).
+    Rows-only by design: the greedy pick is sequential.
+
+    Partitioning note: LTTB's greedy chain needs the whole per-key series
+    in order, so the skinny (key, ts, value) projection IS whole-key
+    grouped here — acceptable because the op's production input is a
+    display-scale series (a rolled tier or an M4 pre-reduction), not the
+    raw stream; at 100 TB you run m4/rollup first and LTTB the result."""
+    import ray.data as rd
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "event_type", "value"])
+
+    def project(batch: pa.Table) -> pa.Table:
+        ts = _col(batch, "ts").astype("datetime64[us]").astype(np.int64)
+        return pa.table({
+            "event_type": batch["event_type"],
+            "ts_us": _i64(ts),
+            "event_id": _i64(_col(batch, "event_id")),
+            "value": pa.array(_col(batch, "value").astype(np.float64)),
+        })
+
+    skinny = ev.map_batches(project, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+    def per_type(g: pd.DataFrame) -> pd.DataFrame:
+        # event_id tie-break keeps duplicate-ts ordering deterministic
+        g = g.sort_values(["ts_us", "event_id"])
+        x = g["ts_us"].to_numpy(np.float64)    # < 2^53 us: exact in float64
+        idx = lttb(x, g["value"].to_numpy(np.float64), n_out)
+        return pd.DataFrame({
+            "event_type": g["event_type"].to_numpy()[idx],
+            "ts_us": g["ts_us"].to_numpy(np.int64)[idx],
+            "value": g["value"].to_numpy(np.float64)[idx],
+        })
+
+    return skinny.groupby("event_type").map_groups(per_type,
+                                                   batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+
+def build_queries9() -> dict:
+    return {
+        "repetition_signals_documents": repetition_signals_documents,
+        "robust_outliers_events": robust_outliers_events,
+        "lttb_downsample_events": lttb_downsample_events,
+    }
+
+
+def build_oracle_sql9() -> dict:
+    return {
+        "repetition_signals_documents": REPETITION_SQL,
+        "robust_outliers_events": ROBUST_OUTLIERS_SQL,
+        # lttb_downsample_events: rows-only (greedy pick is not SQL);
+        # pytest pins it to an independent naive implementation
+    }
