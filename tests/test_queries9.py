@@ -156,3 +156,39 @@ def test_interval_join_empty_hot_schema(ray_session, monkeypatch):
     df = _to_df(res)
     assert len(df) == 0
     assert sorted(df.columns) == ["event_id", "event_type", "w_bucket"]
+
+
+# ---------------------------------------------------------------------------
+# streaming HLL continuous aggregate
+
+def test_sketch_distinct_equals_batch_hll(ray_session):
+    from thunder_ray.pipelines.queries8 import hll_distinct_users_1h
+    from thunder_ray.state.hll import sketch_distinct_users_1h
+
+    batch = _to_df(hll_distinct_users_1h(SF01)).sort_values(
+        "bucket").reset_index(drop=True)
+    stream = sketch_distinct_users_1h(SF01)
+    # register-max folding is order/batching independent, so the streaming
+    # snapshot must equal the batch pipeline BIT-FOR-BIT
+    assert batch["bucket"].tolist() == stream["bucket"].tolist()
+    assert (batch["approx_distinct"].to_numpy()
+            == stream["approx_distinct"].to_numpy()).all()
+
+
+def test_hll_shard_ingest_idempotent(ray_session):
+    import numpy as np
+    import pyarrow as pa
+
+    from thunder_ray.state.hll import HllShard, _ipc, _unipc
+    import ray
+
+    shard = HllShard.remote(12)
+    tbl = pa.table({"bucket": pa.array([1, 1, 2], type=pa.int64()),
+                    "reg": pa.array([5, 9, 5], type=pa.int64()),
+                    "rho": pa.array([3, 7, 2], type=pa.int64())})
+    ray.get(shard.ingest.remote("k1", _ipc(tbl)))
+    snap1 = _unipc(ray.get(shard.snapshot.remote())).to_pandas()
+    ray.get(shard.ingest.remote("k1", _ipc(tbl)))   # retry: dropped
+    snap2 = _unipc(ray.get(shard.snapshot.remote())).to_pandas()
+    pd.testing.assert_frame_equal(snap1, snap2)
+    assert snap1["rho"].tolist() == [3, 7, 2]

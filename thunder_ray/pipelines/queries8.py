@@ -111,11 +111,29 @@ def _cc_min_label(edges, n_edges: int):
         "(Kiveris et al., SoCC 2014) for this graph")
 
 
+# clusters are consumed by BOTH dup_clusters and dedup_apply — cache the
+# materialized label table per input fingerprint so the pair pipeline and
+# the CC rounds run once per session (same pattern as queries._TIER_CACHE;
+# pair-scale blocks in the object store)
+_CC_CACHE: dict = {}
+
+
 def dup_clusters_documents(sf_dir: str):
     """(doc_id, cluster) for every document that appears in a qualifying
     near-dup pair; cluster = min doc_id of its connected component.  Docs
     in no pair are implicit singletons (cluster = self), kept out of the
     output so the label table stays pair-scale, not corpus-scale."""
+    from .queries import _source_fingerprint
+
+    key = (sf_dir, _source_fingerprint(sf_dir))
+    if key not in _CC_CACHE:
+        for k in [k for k in _CC_CACHE if k[0] == sf_dir]:
+            del _CC_CACHE[k]
+        _CC_CACHE[key] = _dup_clusters_uncached(sf_dir)
+    return _CC_CACHE[key]
+
+
+def _dup_clusters_uncached(sf_dir: str):
     from .dedup import ngram_jaccard_pairs_documents
 
     pairs = ngram_jaccard_pairs_documents(sf_dir).select_columns(
@@ -143,7 +161,7 @@ def dup_clusters_documents(sf_dir: str):
                          "cluster": _i64(_col(batch, "label"))})
 
     return labels.map_batches(rename, batch_format="pyarrow",
-                              zero_copy_batch=True)
+                              zero_copy_batch=True).materialize()
 
 
 def dedup_apply_documents(sf_dir: str):

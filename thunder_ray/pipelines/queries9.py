@@ -263,10 +263,15 @@ def lttb_downsample_events(sf_dir: str, n_out: int = LTTB_POINTS):
 # ---------------------------------------------------------------------------
 
 def build_queries9() -> dict:
+    from ..state.hll import sketch_distinct_users_1h
+
     return {
         "repetition_signals_documents": repetition_signals_documents,
         "robust_outliers_events": robust_outliers_events,
         "lttb_downsample_events": lttb_downsample_events,
+        # streaming continuous-aggregate twin of hll_distinct_users_1h
+        # (rows-only; pytest pins snapshot == batch pipeline bit-for-bit)
+        "sketch_distinct_users_1h": sketch_distinct_users_1h,
     }
 
 
