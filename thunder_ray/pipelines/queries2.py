@@ -542,7 +542,9 @@ def crosscorr_embeddings(sf_dir: str, lag: int = 2):
     pure-integer test signal w[q] = ((q*37+11) % 101) - 50, on v =
     floor(x*1e6): ``num`` is an exact int64 (signal.crosscorr_int_2d) and
     ``xcorr`` is the ONE fixed float expression num/(sqrt(nv)*sqrt(nw)) —
-    bit-identical to the SQL twin."""
+    bit-identical to the SQL twin, including NULL (not NaN) on
+    zero-variance rows: DuckDB double division by zero yields NULL, so a
+    constant vector (nv = 0) must emit a null xcorr here too."""
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
 
     def f(batch: pa.Table) -> pa.Table:
@@ -551,13 +553,14 @@ def crosscorr_embeddings(sf_dir: str, lag: int = 2):
         V = np.floor(Y * 1e6).astype(np.int64)
         num, nv, nw = sg.crosscorr_int_2d(V, lag)
         n, w = num.shape
-        xc = num.astype(np.float64) / (
-            np.sqrt(nv.astype(np.float64))[:, None] * np.sqrt(float(nw)))
+        with np.errstate(invalid="ignore", divide="ignore"):
+            xc = num.astype(np.float64) / (
+                np.sqrt(nv.astype(np.float64))[:, None] * np.sqrt(float(nw)))
         return pa.table({
             "vec_id": _i64(np.repeat(batch["vec_id"].to_numpy(zero_copy_only=False), w)),
             "lag": _i64(np.tile(np.arange(-lag, lag + 1, dtype=np.int64), n)),
             "num": _i64(num.reshape(-1)),
-            "xcorr": pa.array(xc.reshape(-1)),
+            "xcorr": pa.array(xc.reshape(-1), mask=np.repeat(nv == 0, w)),
         })
 
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)

@@ -48,6 +48,13 @@ def _i64(arr) -> pa.Array:
 
 
 def _split_bucket(doc_id: np.ndarray) -> np.ndarray:
+    if len(doc_id) and (int(doc_id.min()) < 0
+                        or int(doc_id.max()) * SPLIT_MULT >= 1 << 63):
+        # numpy would wrap (and floored % of a negative id differs from the
+        # SQL twin's truncated %) — a silently different split corrupts the
+        # whole train/test partition; refuse loudly
+        raise ValueError("split: doc_id outside [0, 2^63/SPLIT_MULT) — the "
+                         "exact hash twin does not hold")
     return (doc_id * SPLIT_MULT) % SPLIT_MOD % 100
 
 
@@ -261,7 +268,11 @@ def mad_by_key_events(sf_dir: str):
             "value": pa.array(np.floor(v * 1e6)),
         })
 
-    sv = ds.map_batches(scaled, batch_format="pyarrow", zero_copy_batch=True)
+    # materialized: grouped_disc_quantiles consumes its input TWICE
+    # (histogram pass + collection pass) and runs twice here (median, then
+    # MAD) — unmaterialized, the parquet scan + scale map re-executes 4x
+    sv = ds.map_batches(scaled, batch_format="pyarrow",
+                        zero_copy_batch=True).materialize()
     med_df = grouped_disc_quantiles(sv, [0.5])
     med = dict(zip(med_df["event_type"], med_df["value"]))
 

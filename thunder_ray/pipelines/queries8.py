@@ -347,20 +347,29 @@ def hll_distinct_users_1h(sf_dir: str):
                           zero_copy_batch=True).groupby(
         ["bucket", "reg"]).aggregate(Max("rho", alias_name="rho"))
 
-    m = 1 << HLL_P
-    alpha = 0.7213 / (1.0 + 1.079 / m)
-
     def estimate(g: pd.DataFrame) -> pd.DataFrame:
-        rho = np.zeros(m, dtype=np.int64)
-        rho[g["reg"].to_numpy(np.int64)] = g["rho"].to_numpy(np.int64)
-        e = alpha * m * m / np.sum(np.exp2(-rho.astype(np.float64)))
-        zeros = m - len(g)
-        if e <= 2.5 * m and zeros > 0:          # small-range correction
-            e = m * np.log(m / zeros)
+        e = hll_estimate(g["reg"].to_numpy(np.int64),
+                         g["rho"].to_numpy(np.int64))
         return pd.DataFrame({"bucket": [np.int64(g["bucket"].iloc[0])],
-                             "approx_distinct": [float(e)]})
+                             "approx_distinct": [e]})
 
     return regs.groupby("bucket").map_groups(estimate, batch_format="pandas")
+
+
+def hll_estimate(reg: np.ndarray, rho: np.ndarray) -> float:
+    """The ONE estimator expression (raw HLL + small-range linear counting)
+    shared by the batch pipeline and the streaming continuous aggregate
+    (state/hll.py) — a single definition keeps their bit-for-bit equality
+    contract from drifting.  ``reg``/``rho`` are the NONZERO registers."""
+    m = 1 << HLL_P
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    regs = np.zeros(m, dtype=np.int64)
+    regs[reg] = rho
+    e = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    zeros = m - len(reg)                        # every listed rho is >= 1
+    if e <= 2.5 * m and zeros > 0:              # small-range correction
+        e = m * np.log(m / zeros)
+    return float(e)
 
 
 # ---------------------------------------------------------------------------

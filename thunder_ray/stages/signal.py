@@ -212,9 +212,23 @@ def crosscorr_int_2d(V: np.ndarray, lag: int):
     in real arithmetic (both scale-invariant normalizations cancel d)."""
     V = np.asarray(V, dtype=np.int64)
     n, d = V.shape
+    vmax = int(np.abs(V).max()) if V.size else 0
+    # two-stage overflow guard (numpy would WRAP silently where the SQL
+    # twin's HUGEINT->BIGINT cast raises — refuse loudly instead, house
+    # rule: cusum/hll/repetition guards).  Stage 1: vc = d*V - rowsum must
+    # itself fit int64 (|vc| <= 2*d*vmax).
+    if 2 * d * max(vmax, 50) >= 1 << 62:
+        raise ValueError("crosscorr_int: centered values would overflow "
+                         "int64 — rescale values or reduce the dimension")
     w = (((np.arange(d, dtype=np.int64) * 37 + 11) % 101) - 50)
     vc = d * V - V.sum(axis=1, dtype=np.int64)[:, None]
     wc = d * w - w.sum(dtype=np.int64)
+    # Stage 2: estimate nv in float64 (rel. error ~1e-16) with a 2x margin;
+    # |num| <= sqrt(nv*nw) by Cauchy-Schwarz, so nv in range covers num too
+    vcf = vc.astype(np.float64)
+    if n and float(np.einsum("ij,ij->i", vcf, vcf).max()) >= float(1 << 62):
+        raise ValueError("crosscorr_int: nv would overflow int64 — rescale "
+                         "values or reduce the dimension")
     num = np.zeros((n, 2 * lag + 1), dtype=np.int64)
     for i, L in enumerate(range(-lag, lag + 1)):
         if L >= 0:

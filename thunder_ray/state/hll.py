@@ -126,10 +126,11 @@ class HllContinuousAggregate:
         return out.count()
 
     def snapshot(self) -> pd.DataFrame:
-        """(bucket, approx_distinct) — same estimator expression as the
-        batch pipeline, so identical registers give identical floats."""
-        m = 1 << self.p
-        alpha = 0.7213 / (1.0 + 1.079 / m)
+        """(bucket, approx_distinct) — THE shared estimator
+        (pipelines.queries8.hll_estimate), so identical registers give
+        identical floats to the batch pipeline by construction."""
+        from ..pipelines.queries8 import hll_estimate
+
         tbls = [_unipc(b) for b in
                 ray.get([s.snapshot.remote() for s in self.shards])]
         merged = pa.concat_tables([t for t in tbls if len(t)])
@@ -139,14 +140,9 @@ class HllContinuousAggregate:
         df = merged.to_pandas()
         out_b, out_e = [], []
         for bk, g in df.groupby("bucket"):
-            rho = np.zeros(m, dtype=np.int64)
-            rho[g["reg"].to_numpy(np.int64)] = g["rho"].to_numpy(np.int64)
-            e = alpha * m * m / np.sum(np.exp2(-rho.astype(np.float64)))
-            zeros = m - len(g)
-            if e <= 2.5 * m and zeros > 0:
-                e = m * np.log(m / zeros)
             out_b.append(np.int64(bk))
-            out_e.append(float(e))
+            out_e.append(hll_estimate(g["reg"].to_numpy(np.int64),
+                                      g["rho"].to_numpy(np.int64)))
         return pd.DataFrame({"bucket": np.array(out_b, dtype=np.int64),
                              "approx_distinct": out_e}).sort_values(
             "bucket").reset_index(drop=True)
