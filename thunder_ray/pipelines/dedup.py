@@ -117,6 +117,25 @@ def _shingle_hashes_flat(batch: pa.Table):
     return doc_rep[order], h[order]
 
 
+# Session cache for the MATERIALIZED shingle scan: the exact/capped n-gram,
+# contamination and duplicate-cluster pipelines all start from the same
+# (doc_id, gram, n_doc) rows — scan + shingle the corpus once per session,
+# not once per query (same fingerprint-keyed pattern as queries._TIER_CACHE;
+# word-scale blocks live in the object store and spill).
+_SHINGLE_CACHE: dict = {}
+
+
+def shingle_rows_cached(sf_dir: str):
+    from .queries import _source_fingerprint
+
+    key = (sf_dir, _source_fingerprint(sf_dir))
+    if key not in _SHINGLE_CACHE:
+        for k in [k for k in _SHINGLE_CACHE if k[0] == sf_dir]:
+            del _SHINGLE_CACHE[k]
+        _SHINGLE_CACHE[key] = _shingle_rows(sf_dir).materialize()
+    return _SHINGLE_CACHE[key]
+
+
 def _shingle_rows(sf_dir: str):
     """(doc_id, gram_hash: uint64->int64, n_doc) — one row per DISTINCT
     shingle per doc, fully distributed and batch-vectorized."""
@@ -296,7 +315,7 @@ def ngram_jaccard_pairs_documents(sf_dir: str):
     consumes it as BOTH sides and Ray re-executes lazy lineage per
     consumer, so unmaterialized it would scan + re-hash the corpus twice."""
     return _pair_jaccard(_combine_pair_counts(_gram_join_matches(
-        _shingle_rows(sf_dir).materialize())))
+        shingle_rows_cached(sf_dir))))
 
 
 def _gram_join_matches(rows):
@@ -344,7 +363,7 @@ def _rare_shingle_rows(sf_dir: str, max_doc_freq: int, sh=None, df=None):
     from ray.data.aggregate import Count
 
     if sh is None:
-        sh = _shingle_rows(sf_dir)
+        sh = shingle_rows_cached(sf_dir)
     if df is None:
         df = sh.groupby("gram").aggregate(Count(alias_name="df"))
 
@@ -382,7 +401,7 @@ def _verify_pairs_exact_jaccard(cand, sf_dir: str, sh=None):
     # partitions are wasted tasks anyway)
     p = sized_parallelism(cand.count())
     if sh is None:
-        sh = _shingle_rows(sf_dir).materialize()
+        sh = shingle_rows_cached(sf_dir)
     lo_side = cand.join(
         sh.map_batches(lambda b: b.rename_columns(["doc_lo", "gram", "n_lo"]),
                        batch_format="pyarrow", zero_copy_batch=True),
@@ -416,8 +435,9 @@ def ngram_jaccard_capped_documents(sf_dir: str,
 
     # ONE shingle extraction shared by the df pass, the rare-gram filter and
     # the verify tail — Ray re-executes lazy lineage per consumer, so an
-    # unmaterialized stream here means 4 full corpus scans
-    sh = _shingle_rows(sf_dir).materialize()
+    # unmaterialized stream here means 4 full corpus scans (and the
+    # session cache shares it across the whole n-gram query family)
+    sh = shingle_rows_cached(sf_dir)
     df = sh.groupby("gram").aggregate(Count(alias_name="df")).materialize()
 
     def keep_hot(batch: pa.Table) -> pa.Table:

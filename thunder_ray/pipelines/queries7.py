@@ -167,13 +167,13 @@ def contamination_check_documents(sf_dir: str):
     non-test grams, pair counts via dedup's guarded combiner strategies.
     Gram identity is the 64-bit SipHash (collision odds ~2^-64; the SQL
     twin joins the strings — same counts, the ngram_jaccard precedent)."""
-    from .dedup import _combine_pair_counts, _shingle_rows
+    from .dedup import _combine_pair_counts, shingle_rows_cached
     from ..util import sized_parallelism
 
     # materialized: BOTH split sides derive from it (one corpus scan), and
     # Ray 2.49's hash join needs schema-bearing partitions — sizing the
     # join to the (small) test side avoids empty-partition Acero crashes
-    grams = _shingle_rows(sf_dir).materialize()
+    grams = shingle_rows_cached(sf_dir)
 
     def side(is_test: bool, names):
         def f(batch: pa.Table) -> pa.Table:
