@@ -141,11 +141,15 @@ def main_default(num_cpus: int, sf_dir: str, sf_label) -> dict:
                              "materialized tier (queries._TIER_CACHE), later "
                              "ones read it from the object store — per-query "
                              "times are suite-order dependent by design "
-                             "(ADVICE r2). Absolute suite wall also varies "
-                             "with the shared VM's DRAM window (BASELINE.md "
-                             "probes swing >2x between windows on identical "
-                             "code); compare per-query times within one run, "
-                             "not across runs")}, f, indent=1)
+                             "(ADVICE r2). The same applies to the shingle "
+                             "scan (dedup._SHINGLE_CACHE: exact/capped ngram, "
+                             "contamination, dup-cluster queries) and the "
+                             "duplicate-cluster labels (queries8._CC_CACHE: "
+                             "dup_clusters, dedup_apply). Absolute suite wall "
+                             "also varies with the shared VM's DRAM window "
+                             "(BASELINE.md probes swing >2x between windows "
+                             "on identical code); compare per-query times "
+                             "within one run, not across runs")}, f, indent=1)
     return {
         "metric": "rollup pts/s + query suite",
         "value": total,

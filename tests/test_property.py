@@ -196,3 +196,50 @@ def test_gorilla_xor_vectorized_fuzz(vals):
     ref = g._decode_xor_scalar(enc, len(a))
     assert got.view(np.uint64).tobytes() == a.view(np.uint64).tobytes()
     assert ref.view(np.uint64).tobytes() == a.view(np.uint64).tobytes()
+
+
+# ---------------------------------------------------------------------------
+# round-4 kernels
+
+_doc = st.lists(st.sampled_from(list("abcdefg")), min_size=1, max_size=25)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(_doc, min_size=1, max_size=8))
+def test_repetition_batch_vs_counter_oracle(docs):
+    from collections import Counter
+
+    from thunder_ray.pipelines.queries9 import _repetition_batch
+
+    batch = pa.table({
+        "doc_id": pa.array(range(len(docs)), type=pa.int64()),
+        "text": pa.array([" ".join(d) for d in docs]),
+    })
+    got = _repetition_batch(batch).to_pydict()
+    for i, d in enumerate(docs):
+        wc = Counter(d)
+        dup = sum(c for c in wc.values() if c > 1)
+        bi = Counter(zip(d, d[1:]))
+        top2 = max(bi.values()) if bi else 0
+        assert got["n_words"][i] == len(d)
+        assert got["dup_words"][i] == dup, (d, got["dup_words"][i], dup)
+        assert got["top2_cnt"][i] == top2
+        assert got["dup_word_frac"][i] == dup / len(d)
+        assert got["top2_frac"][i] == (top2 / (len(d) - 1)
+                                       if len(d) >= 2 else 0.0)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.integers(0, 2**62), min_size=1, max_size=200, unique=True))
+def test_hll_reg_rho_vs_scalar_oracle(keys):
+    from thunder_ray.pipelines.queries8 import HLL_P, _hll_reg_rho, _splitmix64
+
+    arr = np.array(keys, dtype=np.int64)
+    reg, rho = _hll_reg_rho(arr)
+    h = _splitmix64(arr.astype(np.uint64))
+    for i, hv in enumerate(int(x) for x in h):
+        assert reg[i] == hv >> (64 - HLL_P)
+        low = 64 - HLL_P
+        w = (hv & ((1 << low) - 1)) | (1 << low)
+        tz = (w & -w).bit_length() - 1
+        assert rho[i] == tz + 1

@@ -202,3 +202,50 @@ def test_interval_join_halo_property(ray_session):
                            got["w_bucket"]):
         assert (et, wb) in hotset
         assert abs(eb[eid] - wb) <= 1
+
+
+def _union_find_components(n_nodes, edges):
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp = {}
+    for x in range(n_nodes):
+        r = find(x)
+        comp.setdefault(r, []).append(x)
+    return {x: min(m) for r, m in comp.items() for x in m}
+
+
+def test_cc_min_label_random_graphs_vs_union_find(ray_session):
+    import ray.data as rd
+
+    from thunder_ray.pipelines.queries8 import _cc_min_label
+
+    rng = np.random.default_rng(11)
+    for trial in range(4):
+        n = int(rng.integers(4, 24))
+        m = int(rng.integers(1, 2 * n))
+        edges = [(int(a), int(b)) for a, b in rng.integers(0, n, (m, 2))
+                 if a != b]
+        if not edges:
+            continue
+        want = _union_find_components(n, edges)
+        src, dst = [], []
+        for a, b in edges:
+            src += [a, b, a, b]
+            dst += [b, a, a, b]
+        ds = rd.from_arrow(pa.table({
+            "src": pa.array(src, type=pa.int64()),
+            "dst": pa.array(dst, type=pa.int64())})).materialize()
+        got = dict(zip(*[_cc_min_label(ds, len(src)).to_pandas()[c]
+                         for c in ("src", "label")]))
+        touched = set(src)
+        assert got == {x: want[x] for x in touched}

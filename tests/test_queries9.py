@@ -20,10 +20,7 @@ def _to_df(res) -> pd.DataFrame:
 # repetition signals
 
 def test_repetition_kernel_hand_cases(ray_session):
-    import ray.data as rd
-
     from thunder_ray.pipelines.queries9 import repetition_signals_documents
-    import thunder_ray.pipelines.queries9 as q9
 
     docs = pa.table({
         "doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),

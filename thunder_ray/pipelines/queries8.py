@@ -58,7 +58,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from ..util import derive_parallelism, sized_parallelism
+from ..util import sized_parallelism
 
 MAX_CC_ROUNDS = 64            # > any plausible near-dup cluster diameter
 DROP_BROADCAST_MAX = 2_000_000  # ~16 MB of int64 ids; above -> groupby path

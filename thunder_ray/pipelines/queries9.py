@@ -54,55 +54,59 @@ def repetition_signals_documents(sf_dir: str):
 
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"])
+    return docs.map_batches(_repetition_batch, batch_format="pyarrow",
+                            zero_copy_batch=True)
 
-    def f(batch: pa.Table) -> pa.Table:
-        words = pc.split_pattern(batch["text"], " ")
-        if isinstance(words, pa.ChunkedArray):
-            words = words.combine_chunks()
-        n = np.diff(words.offsets.to_numpy(zero_copy_only=False)).astype(
-            np.int64)
-        flat = np.asarray(pc.list_flatten(words))
-        ndocs = len(batch)
-        doc_idx = np.repeat(np.arange(ndocs, dtype=np.int64), n)
-        codes, inv = np.unique(flat, return_inverse=True)
-        if len(codes) >= 1 << 31:
-            raise ValueError("repetition: batch vocabulary exceeds packing "
-                             "range — lower batch_size")
-        inv = inv.astype(np.int64)
 
-        # duplicate-word mass per doc: run lengths over sorted (doc, word)
-        key = doc_idx << 31 | inv            # doc_idx < 2^32 within a batch
-        ks = np.sort(key)
-        starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
-        runs = np.diff(np.append(starts, len(ks)))
-        dup = np.zeros(ndocs, dtype=np.int64)
-        np.add.at(dup, (ks[starts] >> 31)[runs > 1], runs[runs > 1])
+def _repetition_batch(batch: pa.Table) -> pa.Table:
+    """One vectorized run-length kernel per batch — module-level so the
+    fuzz tests drive it directly without a Ray round-trip."""
+    words = pc.split_pattern(batch["text"], " ")
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    n = np.diff(words.offsets.to_numpy(zero_copy_only=False)).astype(
+        np.int64)
+    flat = np.asarray(pc.list_flatten(words))
+    ndocs = len(batch)
+    doc_idx = np.repeat(np.arange(ndocs, dtype=np.int64), n)
+    codes, inv = np.unique(flat, return_inverse=True)
+    if len(codes) >= 1 << 31:
+        raise ValueError("repetition: batch vocabulary exceeds packing "
+                         "range — lower batch_size")
+    inv = inv.astype(np.int64)
 
-        # top bigram count per doc: run lengths over sorted (doc, w_i, w_i+1)
-        top2 = np.zeros(ndocs, dtype=np.int64)
-        same = doc_idx[1:] == doc_idx[:-1]
-        if same.any():
-            bdoc = doc_idx[:-1][same]
-            bpair = inv[:-1][same] << 31 | inv[1:][same]
-            o = np.lexsort((bpair, bdoc))
-            bd, bp = bdoc[o], bpair[o]
-            bs = np.flatnonzero(np.r_[True, (bd[1:] != bd[:-1]) |
-                                      (bp[1:] != bp[:-1])])
-            bruns = np.diff(np.append(bs, len(bd)))
-            np.maximum.at(top2, bd[bs], bruns)
+    # duplicate-word mass per doc: run lengths over sorted (doc, word)
+    key = doc_idx << 31 | inv            # doc_idx < 2^32 within a batch
+    ks = np.sort(key)
+    starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+    runs = np.diff(np.append(starts, len(ks)))
+    dup = np.zeros(ndocs, dtype=np.int64)
+    np.add.at(dup, (ks[starts] >> 31)[runs > 1], runs[runs > 1])
 
-        dup_frac = dup.astype(np.float64) / n
-        top2_frac = np.where(n >= 2, top2 / np.maximum(n - 1, 1), 0.0)
-        return pa.table({
-            "doc_id": _i64(_col(batch, "doc_id")),
-            "n_words": _i64(n),
-            "dup_words": _i64(dup),
-            "top2_cnt": _i64(top2),
-            "dup_word_frac": pa.array(dup_frac),
-            "top2_frac": pa.array(top2_frac),
-        })
+    # top bigram count per doc: run lengths over sorted (doc, w_i, w_i+1)
+    top2 = np.zeros(ndocs, dtype=np.int64)
+    same = doc_idx[1:] == doc_idx[:-1]
+    if same.any():
+        bdoc = doc_idx[:-1][same]
+        bpair = inv[:-1][same] << 31 | inv[1:][same]
+        o = np.lexsort((bpair, bdoc))
+        bd, bp = bdoc[o], bpair[o]
+        bs = np.flatnonzero(np.r_[True, (bd[1:] != bd[:-1]) |
+                                  (bp[1:] != bp[:-1])])
+        bruns = np.diff(np.append(bs, len(bd)))
+        np.maximum.at(top2, bd[bs], bruns)
 
-    return docs.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+    dup_frac = dup.astype(np.float64) / n
+    top2_frac = np.where(n >= 2, top2 / np.maximum(n - 1, 1), 0.0)
+    return pa.table({
+        "doc_id": _i64(_col(batch, "doc_id")),
+        "n_words": _i64(n),
+        "dup_words": _i64(dup),
+        "top2_cnt": _i64(top2),
+        "dup_word_frac": pa.array(dup_frac),
+        "top2_frac": pa.array(top2_frac),
+    })
+
 
 
 REPETITION_SQL = """
