@@ -47,15 +47,20 @@ def _i64(arr) -> pa.Array:
     return pa.array(np.asarray(arr, dtype=np.int64), type=pa.int64())
 
 
-def _split_bucket(doc_id: np.ndarray) -> np.ndarray:
+def _split_hash(doc_id: np.ndarray) -> np.ndarray:
+    """Guarded Knuth hash shared by split/sample/contamination: numpy would
+    wrap (and floored % of a negative id differs from the SQL twin's
+    truncated %) — a silently different split corrupts the whole
+    train/test partition, so refuse loudly outside the exact range."""
     if len(doc_id) and (int(doc_id.min()) < 0
                         or int(doc_id.max()) * SPLIT_MULT >= 1 << 63):
-        # numpy would wrap (and floored % of a negative id differs from the
-        # SQL twin's truncated %) — a silently different split corrupts the
-        # whole train/test partition; refuse loudly
         raise ValueError("split: doc_id outside [0, 2^63/SPLIT_MULT) — the "
                          "exact hash twin does not hold")
-    return (doc_id * SPLIT_MULT) % SPLIT_MOD % 100
+    return (doc_id * SPLIT_MULT) % SPLIT_MOD
+
+
+def _split_bucket(doc_id: np.ndarray) -> np.ndarray:
+    return _split_hash(doc_id) % 100
 
 
 # ---------------------------------------------------------------------------
@@ -119,7 +124,7 @@ def stratified_sample_documents(sf_dir: str, k: int = SAMPLE_K):
         if len(doc) == 0:
             return pa.table({"lang": pa.array([], type=pa.string()),
                              "doc_id": _i64([]), "h": _i64([])})
-        h = (doc * SPLIT_MULT) % SPLIT_MOD
+        h = _split_hash(doc)
         u, code = np.unique(lang, return_inverse=True)
         order = np.lexsort((doc, h, code))
         cs = code[order]
