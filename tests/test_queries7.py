@@ -75,7 +75,11 @@ def test_mad_matches_numpy_disc_oracle(ray_session, tmp_path):
     rng = np.random.default_rng(9)
     n = 5000
     et = np.array(["a", "b", "c"])[rng.integers(0, 3, n)]
-    val = rng.normal(scale=[1.0, 5.0, 0.2][0], size=n) + (et == "b") * 10
+    # per-stratum scales: wide (b) and tight (c) dispersion regimes both
+    # exercise the 12-bit histogram descent, not just the unit-scale path
+    code = (et == "b").astype(int) + 2 * (et == "c").astype(int)
+    val = rng.normal(size=n) * np.array([1.0, 5.0, 0.2])[code] + (
+        et == "b") * 10
     pq.write_table(pa.table({
         "event_type": pa.array(list(et), type=pa.string()),
         "value": pa.array(val),

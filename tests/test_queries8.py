@@ -116,10 +116,10 @@ def test_hll_vs_exact_and_rebatching(ray_session):
     rel = (approx - exact.astype(float)).abs() / exact
     # sf0.01 buckets hold ~4-30 users -> linear-counting regime, tight
     assert rel.max() < 0.1, rel.sort_values().tail()
-    # register construction is max-merge associative: same result when the
-    # whole input arrives as one batch per row ordering
-    again = _to_df(hll_distinct_users_1h(SF01)).set_index("bucket")[
-        "approx_distinct"]
+    # register construction is max-merge associative: FORCING a different
+    # batching (tiny batches) must yield bit-identical estimates
+    again = _to_df(hll_distinct_users_1h(SF01, batch_size=64)).set_index(
+        "bucket")["approx_distinct"]
     pd.testing.assert_series_equal(approx.sort_index(), again.sort_index())
 
 

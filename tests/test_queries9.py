@@ -183,9 +183,11 @@ def test_hll_shard_ingest_idempotent(ray_session):
     tbl = pa.table({"bucket": pa.array([1, 1, 2], type=pa.int64()),
                     "reg": pa.array([5, 9, 5], type=pa.int64()),
                     "rho": pa.array([3, 7, 2], type=pa.int64())})
-    ray.get(shard.ingest.remote("k1", _ipc(tbl)))
+    ray.get(shard.ingest.remote(_ipc(tbl)))
     snap1 = _unipc(ray.get(shard.snapshot.remote())).to_pandas()
-    ray.get(shard.ingest.remote("k1", _ipc(tbl)))   # retry: dropped
+    # a retried (re-delivered) partial is a max-fold no-op — idempotent by
+    # algebra, no content-key ledger needed (or kept: memory stays bounded)
+    ray.get(shard.ingest.remote(_ipc(tbl)))
     snap2 = _unipc(ray.get(shard.snapshot.remote())).to_pandas()
     pd.testing.assert_frame_equal(snap1, snap2)
     assert snap1["rho"].tolist() == [3, 7, 2]

@@ -62,3 +62,31 @@ def test_split_bucket_range_guard():
     with pytest.raises(ValueError, match="doc_id"):
         _split_bucket(np.array([1 << 33], dtype=np.int64))
     assert _split_bucket(np.array([0, 7, 123456], dtype=np.int64)).shape == (3,)
+
+
+def test_interval_join_empty_probe_batches_keep_string_type(ray_session):
+    """Tiny batches force some probe outputs to be all-empty; without an
+    explicit string type those columns infer null and Arrow block
+    unification fails (round-4 review finding)."""
+    from thunder_ray.pipelines.queries8 import interval_join_hot_events
+
+    base = interval_join_hot_events("/root/testdata/sf0.001")
+    base = (base.to_pandas() if hasattr(base, "to_pandas") else base)
+    tiny = interval_join_hot_events("/root/testdata/sf0.001", batch_size=7)
+    tiny = (tiny.to_pandas() if hasattr(tiny, "to_pandas") else tiny)
+    key = ["event_id", "event_type", "w_bucket"]
+    pd.testing.assert_frame_equal(
+        base.sort_values(key).reset_index(drop=True),
+        tiny.sort_values(key).reset_index(drop=True))
+
+
+def test_repetition_null_text_dropped_like_sql(ray_session):
+    """Null text -> no unnest rows in the twin -> the doc must be absent
+    here too (not a 0/0 NaN row)."""
+    from thunder_ray.pipelines.queries9 import _repetition_batch
+
+    batch = pa.table({"doc_id": pa.array([0, 1, 2], type=pa.int64()),
+                      "text": pa.array(["a b", None, "c"])})
+    got = _repetition_batch(batch).to_pydict()
+    assert got["doc_id"] == [0, 2]
+    assert got["n_words"] == [2, 1]

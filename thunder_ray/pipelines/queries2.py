@@ -612,6 +612,12 @@ def convolve_embeddings(sf_dir: str):
         vals, offs = lk.list_parts(batch["embedding"])
         Y = sg.as_2d(vals.astype(np.float64), offs)
         V = np.floor(Y * 1e6)
+        # exactness of the float accumulation needs |C| <= 4*vmax < 2^53;
+        # beyond that numpy would silently diverge from the twin's exact
+        # BIGINT sums (same refuse-loudly contract as crosscorr_int_2d)
+        if V.size and 4 * float(np.abs(V).max()) >= float(1 << 53):
+            raise ValueError("convolve: scaled magnitude exceeds the exact "
+                             "float53 range — rescale the input")
         C = sg.convolve_2d(V, kernel, mode="same")
         num = C.astype(np.int64)
         n, d = C.shape

@@ -314,11 +314,13 @@ def _hll_reg_rho(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return reg, rho
 
 
-def hll_distinct_users_1h(sf_dir: str):
+def hll_distinct_users_1h(sf_dir: str, batch_size: int | None = None):
     """Approximate distinct users per 1h bucket via a mergeable p=12
     HyperLogLog: per-batch max-rho partials per (bucket, register), keyed
     MAX groupby (<= buckets x 4096 rows moved, input-size independent),
-    then one estimator pass per bucket.  Deterministic given the data."""
+    then one estimator pass per bucket.  Deterministic given the data —
+    and batching-independent (register max-merge is associative), which
+    ``batch_size`` exists to let tests actually vary."""
     import ray.data as rd
     from ray.data.aggregate import Max
 
@@ -344,7 +346,8 @@ def hll_distinct_users_1h(sf_dir: str):
                          "rho": _i64(rs[last])})
 
     regs = ev.map_batches(partial, batch_format="pyarrow",
-                          zero_copy_batch=True).groupby(
+                          zero_copy_batch=True,
+                          batch_size=batch_size).groupby(
         ["bucket", "reg"]).aggregate(Max("rho", alias_name="rho"))
 
     def estimate(g: pd.DataFrame) -> pd.DataFrame:
@@ -471,7 +474,7 @@ def _hot_windows(sf_dir: str):
                              zero_copy_batch=True)
 
 
-def interval_join_hot_events(sf_dir: str):
+def interval_join_hot_events(sf_dir: str, batch_size: int | None = None):
     """One row per (event, hot window) pair where the event's hour bucket
     lies within the window's +-1-bucket halo — a broadcast interval join:
     the hot-window side (rolled-point scale by construction) ships once as
@@ -522,11 +525,14 @@ def interval_join_hot_events(sf_dir: str):
             out_b.append(wb[m])
         return pa.table({
             "event_id": _i64(np.concatenate(out_id)),
-            "event_type": pa.array(np.concatenate(out_et)),
+            # explicit type: an all-empty concat would otherwise infer a
+            # null-typed column and break Arrow block unification
+            "event_type": pa.array(np.concatenate(out_et), type=pa.string()),
             "w_bucket": _i64(np.concatenate(out_b)),
         })
 
-    return ev.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
+    return ev.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True,
+                          batch_size=batch_size)
 
 
 INTERVAL_JOIN_SQL = f"""

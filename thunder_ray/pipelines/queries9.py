@@ -61,6 +61,17 @@ def repetition_signals_documents(sf_dir: str):
 def _repetition_batch(batch: pa.Table) -> pa.Table:
     """One vectorized run-length kernel per batch — module-level so the
     fuzz tests drive it directly without a Ray round-trip."""
+    # null text: the SQL twin's unnest of a null word list emits no rows,
+    # so the doc is absent from its output — drop it here too (otherwise
+    # n = 0 rides into a 0/0 NaN and a row-count parity failure)
+    batch = batch.filter(pc.is_valid(batch["text"]))
+    if len(batch) == 0:
+        return pa.table({
+            "doc_id": _i64([]), "n_words": _i64([]), "dup_words": _i64([]),
+            "top2_cnt": _i64([]),
+            "dup_word_frac": pa.array([], type=pa.float64()),
+            "top2_frac": pa.array([], type=pa.float64()),
+        })
     words = pc.split_pattern(batch["text"], " ")
     if isinstance(words, pa.ChunkedArray):
         words = words.combine_chunks()

@@ -220,6 +220,12 @@ def crosscorr_int_2d(V: np.ndarray, lag: int):
     if 2 * d * max(vmax, 50) >= 1 << 62:
         raise ValueError("crosscorr_int: centered values would overflow "
                          "int64 — rescale values or reduce the dimension")
+    # nw = sum(wc^2) <= d * (100d)^2; guard it like nv (w is fixed, so this
+    # is purely a dimension bound).  |num| <= sqrt(nv*nw) by Cauchy-Schwarz,
+    # so nv and nw in range cover num too.
+    if 10_000 * d ** 3 >= 1 << 62:
+        raise ValueError("crosscorr_int: signal norm would overflow int64 — "
+                         "reduce the dimension")
     w = (((np.arange(d, dtype=np.int64) * 37 + 11) % 101) - 50)
     vc = d * V - V.sum(axis=1, dtype=np.int64)[:, None]
     wc = d * w - w.sum(dtype=np.int64)

@@ -6,8 +6,12 @@ maintain continuous-aggregate sketches').
 Same design contract as SketchShard:
 - ``num_shards`` actors, each owning the buckets with
   ``bucket % num_shards == shard_id`` — no shared state, no locking;
-- ingest is **idempotent** under Ray task retries (deterministic content
-  key per partial, folded-once per shard);
+- ingest is **idempotent** under Ray task retries BY ALGEBRA: the folded
+  quantity is a per-register MAX, and max-folding the same partial twice
+  is a no-op — so unlike SketchShard (whose integer sums double-count and
+  need a content-key ledger), no seen-set exists and shard memory stays
+  bounded at buckets x 4096 bytes forever, the continuous-stream
+  requirement;
 - the folded quantity (per-register max rho) is merge-order independent,
   so the streaming snapshot equals the batch pipeline
   (pipelines.queries8.hll_distinct_users_1h) BIT-FOR-BIT at every point
@@ -17,8 +21,6 @@ Same design contract as SketchShard:
 """
 
 from __future__ import annotations
-
-import hashlib
 
 import numpy as np
 import pandas as pd
@@ -46,12 +48,11 @@ class HllShard:
     def __init__(self, p: int):
         self.m = 1 << p
         self.regs: dict[int, np.ndarray] = {}
-        self.seen: set = set()
 
-    def ingest(self, key: str, blob: bytes) -> int:
-        if key in self.seen:
-            return 0
-        self.seen.add(key)
+    def ingest(self, blob: bytes) -> int:
+        # no dedup ledger needed: max-folding a retried partial is a no-op
+        # (idempotent by algebra), and a ledger would grow without bound on
+        # a continuous stream
         tbl = _unipc(blob)
         b = tbl["bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
         r = tbl["reg"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -94,7 +95,7 @@ class HllContinuousAggregate:
     def ingest_stage(self):
         from ..pipelines.queries8 import _hll_reg_rho, _hour_bucket
 
-        shards, num, p = self.shards, self.num_shards, self.p
+        shards, num = self.shards, self.num_shards
 
         def ingest(batch: pa.Table) -> pa.Table:
             if len(batch) == 0:
@@ -106,14 +107,11 @@ class HllContinuousAggregate:
             partial = pa.table({"bucket": pa.array(b, type=pa.int64()),
                                 "reg": pa.array(reg, type=pa.int64()),
                                 "rho": pa.array(rho, type=pa.int64())})
-            key = hashlib.md5(
-                b.tobytes() + reg.tobytes() + rho.tobytes()).hexdigest()
             refs = []
             sid_all = b % num
             for sid in np.unique(sid_all):
                 sub = partial.filter(pa.array(sid_all == sid))
-                refs.append(shards[sid].ingest.remote(f"{key}:{sid}",
-                                                      _ipc(sub)))
+                refs.append(shards[sid].ingest.remote(_ipc(sub)))
             ray.get(refs)   # barrier: folded before the task reports success
             return batch
 
