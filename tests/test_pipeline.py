@@ -126,3 +126,35 @@ def test_read_tier_column_pruning(ray_session, tokens_dir, tmp_path):
         slim.sort_values(["source", "bucket"]).reset_index(drop=True),
         full[["source", "bucket", "mean"]]
             .sort_values(["source", "bucket"]).reset_index(drop=True))
+
+
+def test_incremental_append(ray_session, tmp_path):
+    """Tier maintenance: after new input files land (sorting after the old
+    ones), a rerun pays raw cost only for the NEW shards and produces
+    tiers bit-equal to a from-scratch rollup of the full input."""
+    import shutil
+
+    full = write_tokens_parquet(str(tmp_path / "full"), rows=600,
+                                rows_per_block=75)          # 8 part files
+    parts = sorted(os.path.join(full, f"part-{i:05d}.parquet")
+                   for i in range(8))
+    inc = str(tmp_path / "inc")
+    os.makedirs(inc)
+    for p in parts[:4]:
+        shutil.copy(p, inc)
+
+    out = str(tmp_path / "out")
+    m1 = tp.run_rollup(inc, out, files_per_shard=2, batch_size=64)
+    assert m1["shards_run"] == 2 and m1["shards_skipped"] == 0
+
+    for p in parts[4:]:                                     # data lands
+        shutil.copy(p, inc)
+    m2 = tp.run_rollup(inc, out, files_per_shard=2, batch_size=64)
+    assert m2["shards_total"] == 4
+    assert m2["shards_skipped"] == 2 and m2["shards_run"] == 2
+
+    scratch = str(tmp_path / "scratch")
+    tp.run_rollup(inc, scratch, files_per_shard=2, batch_size=64)
+    a, b = tier_frames(out), tier_frames(scratch)
+    for tier in ("1m", "1h", "1d"):
+        pd.testing.assert_frame_equal(a[tier], b[tier])

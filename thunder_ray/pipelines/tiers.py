@@ -97,6 +97,18 @@ def run_rollup(
     """Run (or resume) the full tier pipeline.  Returns summary metrics.
 
     ``fail_after_shards`` is a fault-injection hook for the kill/resume test.
+
+    INCREMENTAL APPEND: rerunning after new input files landed is the tier
+    MAINTENANCE path — shards whose manifest lineage still matches are
+    skipped (only the new data pays the raw scan), and stage 2 re-merges
+    the per-shard partials into fresh tiers at rolled-point cost (~1e4x
+    smaller than raw).  Bit-equal to a from-scratch rollup of the full
+    input because integer partials compose exactly (pinned by
+    test_pipeline.test_incremental_append).  Appended files must sort
+    AFTER the existing ones (time-ordered ingest naming) so the
+    deterministic sharding of the old files is unchanged; a rename that
+    reshuffles the grouping is caught by the lineage check and simply
+    recomputes — never silently double-counts.
     """
     os.makedirs(out_root, exist_ok=True)
     base_seconds = TIERS[base_tier]
