@@ -303,6 +303,12 @@ def _pair_jaccard(inter_counts):
     return inter_counts.map_batches(jac, batch_format="pyarrow", zero_copy_batch=True)
 
 
+# materialized exact-pair table per input fingerprint: consumed by the
+# standalone pairs query AND the cluster/apply family (queries8) — the gram
+# self-join runs once per session (pair-scale blocks)
+_NGRAM_PAIRS_CACHE: dict = {}
+
+
 def ngram_jaccard_pairs_documents(sf_dir: str):
     """All doc pairs with 3-word-shingle Jaccard >= JACCARD_T — fully
     distributed, mirroring the SQL oracle's plan: shingle rows self-joined
@@ -314,8 +320,15 @@ def ngram_jaccard_pairs_documents(sf_dir: str):
     The shingle stream is materialized once before the self-join: the join
     consumes it as BOTH sides and Ray re-executes lazy lineage per
     consumer, so unmaterialized it would scan + re-hash the corpus twice."""
-    return _pair_jaccard(_combine_pair_counts(_gram_join_matches(
-        shingle_rows_cached(sf_dir))))
+    from .queries import _source_fingerprint
+
+    key = (sf_dir, _source_fingerprint(sf_dir))
+    if key not in _NGRAM_PAIRS_CACHE:
+        for k in [k for k in _NGRAM_PAIRS_CACHE if k[0] == sf_dir]:
+            del _NGRAM_PAIRS_CACHE[k]
+        _NGRAM_PAIRS_CACHE[key] = _pair_jaccard(_combine_pair_counts(
+            _gram_join_matches(shingle_rows_cached(sf_dir)))).materialize()
+    return _NGRAM_PAIRS_CACHE[key]
 
 
 def _gram_join_matches(rows):
