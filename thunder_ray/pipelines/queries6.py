@@ -176,6 +176,23 @@ def counter_increase_1h(sf_dir: str, batch_size: int | None = None):
         merge, batch_format="pandas")
 
 
+def rate_1h(sf_dir: str):
+    """Prometheus-style per-second ``rate``: the 1h counter increase
+    divided by the window length.  Rides on counter_increase_1h's exact
+    scaled-int increases; ``rate`` is the ONE fixed float division
+    increase_scaled / (SCALE * 3600) — both constants exactly
+    representable, so the twin hash-matches bit-for-bit."""
+    inc = counter_increase_1h(sf_dir)
+
+    def add_rate(batch: pa.Table) -> pa.Table:
+        s = _col(batch, "increase_scaled").astype(np.int64)
+        return batch.append_column(
+            "rate", pa.array(s.astype(np.float64) / (SCALE * 3600.0)))
+
+    return inc.map_batches(add_rate, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
 COUNTER_INCREASE_SQL = """
 WITH s AS (
   SELECT event_type, epoch_us(ts) AS ts_us, event_id,
@@ -195,6 +212,15 @@ SELECT event_type,
        COUNT(*) AS n
 FROM lagged
 GROUP BY event_type, bucket
+"""
+
+# rate = increase / window seconds on the ORIGINAL unit scale:
+# increase_scaled / (1e6 * 3600); 3.6e9 is exactly representable, so the
+# single division bit-matches the engine's numpy expression
+RATE_1H_SQL = f"""
+SELECT event_type, bucket, increase_scaled, n,
+       CAST(increase_scaled AS DOUBLE) / 3600000000.0 AS rate
+FROM ({COUNTER_INCREASE_SQL})
 """
 
 
@@ -764,6 +790,7 @@ FROM events GROUP BY event_type
 def build_queries6() -> dict:
     return {
         "counter_increase_1h": counter_increase_1h,
+        "rate_1h": rate_1h,
         "heatmap_events": heatmap_events,
         "ewma_tokens": ewma_tokens,
         "m4_downsample_events": m4_downsample_events,
@@ -777,6 +804,7 @@ def build_queries6() -> dict:
 def build_oracle_sql6() -> dict:
     return {
         "counter_increase_1h": COUNTER_INCREASE_SQL,
+        "rate_1h": RATE_1H_SQL,
         "heatmap_events": HEATMAP_EVENTS_SQL,
         "ewma_tokens": EWMA_TOKENS_SQL,
         "m4_downsample_events": M4_DOWNSAMPLE_SQL,
