@@ -90,3 +90,69 @@ def test_repetition_null_text_dropped_like_sql(ray_session):
     got = _repetition_batch(batch).to_pydict()
     assert got["doc_id"] == [0, 2]
     assert got["n_words"] == [2, 1]
+
+
+# ---------------------------------------------------------------------------
+# third review batch (stages/ + sources/)
+
+def test_from_list_preserves_floats_and_refuses_wide_ints(ray_session):
+    from thunder_ray.sources.series import from_list
+
+    got = from_list([[0.5, 1.5]]).take_all()[0]["tokens"]
+    assert list(got) == [0.5, 1.5]
+    with pytest.raises(Exception, match="int32"):
+        from_list([[1 << 40]]).take_all()
+
+
+def test_to_binary_refuses_out_of_range_valuetype(ray_session, tmp_path):
+    from thunder_ray.sources.series import from_array
+    from thunder_ray.sources.binary import to_binary
+
+    ds = from_array(np.array([[70000, 1, 2]]), source="mem")
+    with pytest.raises(Exception, match="range"):
+        to_binary(ds, str(tmp_path / "bin"), valuetype="<i2")
+
+
+def test_rebuild_list_sliced_buffer():
+    from thunder_ray.stages.listkernels import rebuild_list
+
+    values = np.array([10, 11, 12, 13, 14], dtype=np.int64)
+    offsets = np.array([2, 4, 5], dtype=np.int64)  # sliced: rows [12,13],[14]
+    out = rebuild_list(values, offsets)
+    assert out.to_pylist() == [[12, 13], [14]]
+
+
+def test_toblocks_skips_zero_area_blocks(ray_session):
+    from thunder_ray.sources.series import from_array
+    from thunder_ray.stages.images import toblocks
+
+    # 3x3 frames, 4x4 grid -> zero-area rows/cols must be skipped, not crash
+    frames = np.arange(18, dtype=np.int64).reshape(2, 9)
+    ds = from_array(frames).map_batches(
+        lambda b: pa.table({
+            "frame_id": pa.array([0, 1], type=pa.int64()),
+            "image": b["tokens"],
+            "height": pa.array([3, 3], type=pa.int32()),
+            "width": pa.array([3, 3], type=pa.int32()),
+        }), batch_format="pyarrow")
+    blocks = toblocks(ds, grid=(4, 4), padding=0).to_pandas()
+    assert (blocks["sh"] > 0).all() and (blocks["sw"] > 0).all()
+    # every pixel covered exactly once across kept blocks
+    assert int((blocks["sh"] * blocks["sw"]).sum()) == 2 * 9
+
+
+def test_fourier_nyquist_guard():
+    from thunder_ray.stages.signal import fourier_2d
+
+    Y = np.random.default_rng(0).normal(size=(2, 16))
+    with pytest.raises(ValueError, match="Nyquist"):
+        fourier_2d(Y, freq=8)
+    fourier_2d(Y, freq=7)   # in range
+
+
+def test_to_text_refuses_empty_records(ray_session, tmp_path):
+    from thunder_ray.sources.series import from_list, to_text
+
+    ds = from_list([[1, 2], []])
+    with pytest.raises(Exception, match="zero-length"):
+        to_text(ds, str(tmp_path / "txt"))

@@ -20,8 +20,10 @@ written (a per-block-uniform dataset with differing widths would
 otherwise frombuffer-misparse on read).
 
 Writes are per-block tasks (parallel, one file per block named by the
-block's first key — deterministic and idempotent under task retries);
-reads are ``read_binary_files`` + a vectorized frombuffer reshape.
+block's first key plus a payload content hash — deterministic and
+idempotent under task retries, and two blocks sharing a first key cannot
+silently overwrite each other); reads are ``read_binary_files`` + a
+vectorized frombuffer reshape.
 """
 
 from __future__ import annotations
@@ -90,13 +92,30 @@ def to_binary(ds, path: str, value_column: str = "tokens",
         if (lens != d).any():
             raise ValueError("tobinary requires uniform series lengths")
         keys, prefix, width = _keys_from_doc_ids(batch["doc_id"])
-        base = lk._base_values(vals, offs).reshape(len(keys), d).astype(vt)
+        base = lk._base_values(vals, offs).reshape(len(keys), d)
+        vtd = np.dtype(vt)
+        if vtd.kind in "iu" and base.size:
+            info = np.iinfo(vtd)
+            if int(base.min()) < info.min or int(base.max()) > info.max:
+                # a bare astype would WRAP silently and from_binary's
+                # lossless check only validates the stored payload —
+                # refuse loudly (review r4)
+                raise ValueError(f"tobinary: values exceed {vt} range — "
+                                 "pick a wider valuetype")
+        base = base.astype(vtd)
         # interleave key + values per record, C-order
         rec = np.dtype([("k", "<i8"), ("v", vt, (d,))])
         out = np.empty(len(keys), dtype=rec)
         out["k"] = keys
         out["v"] = base
-        fname = os.path.join(path, f"part-{int(keys[0]):012d}.bin")
+        # content-addressed name: first key orders the files, the payload
+        # hash makes two blocks that happen to share a first key collide
+        # ONLY when their bytes are identical (harmless overwrite) — a
+        # first-key-only name silently dropped one of them (review r4)
+        import hashlib
+
+        digest = hashlib.md5(out.tobytes()).hexdigest()[:10]
+        fname = os.path.join(path, f"part-{int(keys[0]):012d}-{digest}.bin")
         tmp = fname + ".tmp"
         with open(tmp, "wb") as f:
             f.write(out.tobytes())
@@ -169,7 +188,7 @@ def from_binary(path: str, source: str = "bin"):
                         arr["k"].astype(np.int64).astype("U"), width)),
                     type=pa.string()),
                 "tokens": pa.ListArray.from_arrays(
-                    pa.array(np.arange(0, (n + 1) * d, d, dtype=np.int32)),
+                    pa.array(np.arange(n + 1, dtype=np.int32) * d),
                     pa.array(vals32)),
                 "n_tok": pa.array(np.full(n, d, dtype=np.int32)),
                 "source": pa.array([source] * n, type=pa.string()),

@@ -63,12 +63,21 @@ def from_list(items, accessor=None, source: str = "mem"):
         arrs = [np.asarray(accessor(r) if accessor else r) for r in rows]
         lens = np.array([len(a) for a in arrs], dtype=np.int32)
         flat = np.concatenate(arrs) if arrs else np.empty(0, dtype=np.int32)
+        # preserve non-integer dtypes like from_array/_table_from_2d; cast
+        # integers to int32 only when they FIT (a silent wrap corrupted
+        # wide-int inputs; review r4)
+        if flat.dtype.kind in "iu":
+            if len(flat) and (int(flat.min()) < -(1 << 31)
+                              or int(flat.max()) >= 1 << 31):
+                raise ValueError("from_list: integer values exceed int32 — "
+                                 "pass floats or rescale")
+            flat = flat.astype(np.int32)
         offs = np.zeros(len(arrs) + 1, dtype=np.int32)
         np.cumsum(lens, out=offs[1:])
         return pa.table({
             "doc_id": pa.array([f"mem-{i:08d}" for i in idx], type=pa.string()),
             "tokens": pa.ListArray.from_arrays(pa.array(offs),
-                                               pa.array(flat.astype(np.int32))),
+                                               pa.array(flat)),
             "n_tok": pa.array(lens),
             "source": pa.array([source] * len(arrs), type=pa.string()),
         })
@@ -191,13 +200,20 @@ def to_text(ds, path: str, value_column: str = "tokens"):
     """thunder ``Series.totext`` (series/writers.py:~80): one line per
     record, whitespace-separated values — engine wrapper emitting a single
     text column then Ray's parallel CSV writer (one file per block).
-    Round-trips through :func:`from_text` (skip=0)."""
+    Round-trips through :func:`from_text` (skip=0).  Zero-length records
+    are REFUSED: they would serialize to a blank line, which from_text
+    cannot distinguish from a trailing newline and silently drops —
+    shifting every later line id (review r4)."""
     import pyarrow.compute as pc
 
     def to_lines(batch: pa.Table) -> pa.Table:
         col = batch[value_column]
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
+        lens = np.diff(col.offsets.to_numpy(zero_copy_only=False))
+        if len(lens) and int(lens.min()) == 0:
+            raise ValueError("totext: zero-length records are not "
+                             "representable (blank line == no line)")
         strs = pc.cast(col.values, pa.string())
         lists = pa.ListArray.from_arrays(col.offsets, strs)
         return pa.table({"value": pc.binary_join(lists, " ")})

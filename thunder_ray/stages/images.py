@@ -33,6 +33,12 @@ def _i64(a) -> pa.Array:
 
 def _cube(batch: pa.Table) -> tuple[np.ndarray, np.ndarray, int, int]:
     """(frame_ids, (n, h, w) cube) — zero-copy reshape of the list column."""
+    if len(batch) == 0:
+        # h/w are unknowable from an empty block; a bare [0] index raised a
+        # confusing IndexError mid-pipeline (review r4) — refuse loudly,
+        # callers that can see empties guard first (to_png/to_tif do)
+        raise ValueError("images: empty block reached _cube — filter "
+                         "zero-row batches upstream")
     vals, offs = lk.list_parts(batch["image"])
     h = int(batch["height"][0].as_py())
     w = int(batch["width"][0].as_py())
@@ -47,7 +53,7 @@ def _emit(fid, cube) -> pa.Table:
     return pa.table({
         "frame_id": _i64(fid),
         "image": pa.ListArray.from_arrays(
-            pa.array(np.arange(0, (n + 1) * h * w, h * w, dtype=np.int32)),
+            pa.array(np.arange(n + 1, dtype=np.int32) * (h * w)),
             pa.array(flat.reshape(-1))),
         "height": pa.array(np.full(n, h, dtype=np.int32)),
         "width": pa.array(np.full(n, w, dtype=np.int32)),
@@ -260,7 +266,7 @@ def toseries(ds, chunks: int = 16):
         return pa.table({
             "pixel_id": _i64(np.arange(start, start + cp, dtype=np.int64)),
             "series": pa.ListArray.from_arrays(
-                pa.array(np.arange(0, (cp + 1) * t, t, dtype=np.int32)),
+                pa.array(np.arange(cp + 1, dtype=np.int32) * t),
                 pa.array(series.reshape(-1))),
         })
 
@@ -302,7 +308,12 @@ def toimages(series_ds, height: int, width: int, time_chunks: int = 8):
     def reassemble(g: pa.Table) -> pa.Table:
         pix = g["pixel_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         mat = _list_matrix(g["vals"])[np.argsort(pix, kind="stable")]  # (npix, tc)
-        assert mat.shape[0] == height * width, "incomplete pixel set in chunk"
+        if mat.shape[0] != height * width:
+            # an assert vanishes under python -O and the reshape below
+            # would then scramble frames silently (review r4)
+            raise ValueError(
+                f"toimages: chunk holds {mat.shape[0]} pixels, expected "
+                f"{height}x{width} — wrong dims or partial upstream data")
         t0 = int(g["t_start"][0].as_py())
         cube = np.ascontiguousarray(mat.T).reshape(mat.shape[1], height, width)
         return _emit(np.arange(t0, t0 + cube.shape[0], dtype=np.int64), cube)
@@ -338,6 +349,11 @@ def toblocks(ds, grid=(2, 2), padding: int = 0):
                 xx0, xx1 = max(x0 - padding, 0), min(x1 + padding, w)
                 sub = np.ascontiguousarray(cube[:, yy0:yy1, xx0:xx1])
                 sh, sw = sub.shape[1], sub.shape[2]
+                if sh == 0 or sw == 0:
+                    # a grid finer than the image makes zero-area blocks
+                    # (same class _sliced_ranges filters with widths > 0);
+                    # they hold no pixels, so skipping is exact (review r4)
+                    continue
                 tables.append(pa.table({
                     "block": _i64(np.full(n, by * gx + bx)),
                     "frame_id": _i64(fid),
@@ -346,8 +362,8 @@ def toblocks(ds, grid=(2, 2), padding: int = 0):
                     "yy0": _i64(np.full(n, yy0)), "xx0": _i64(np.full(n, xx0)),
                     "sh": _i64(np.full(n, sh)), "sw": _i64(np.full(n, sw)),
                     "vals": pa.ListArray.from_arrays(
-                        pa.array(np.arange(0, (n + 1) * sh * sw, sh * sw,
-                                           dtype=np.int32)),
+                        pa.array(np.arange(n + 1, dtype=np.int32)
+                                 * (sh * sw)),
                         pa.array(sub.reshape(-1))),
                 }))
         return pa.concat_tables(tables)

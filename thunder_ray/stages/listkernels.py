@@ -41,8 +41,14 @@ def lengths(offsets: np.ndarray) -> np.ndarray:
 
 
 def rebuild_list(values: np.ndarray, offsets: np.ndarray, type_=None) -> pa.ListArray:
-    """Assemble a list array from flat values + absolute offsets."""
-    off = offsets - offsets[0]
+    """Assemble a list array from flat values + absolute offsets.  The
+    values buffer may be the FULL (untrimmed) buffer of a sliced column —
+    rebasing the offsets alone would silently read the wrong rows, so trim
+    the buffer to the addressed window first (review r4)."""
+    lo, hi = int(offsets[0]), int(offsets[-1])
+    if lo != 0 or hi != len(values):
+        values = values[lo:hi]
+    off = offsets - lo
     arr = pa.array(values, type=type_)
     return pa.ListArray.from_arrays(pa.array(off.astype(np.int32)), arr)
 

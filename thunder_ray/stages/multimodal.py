@@ -31,16 +31,14 @@ FEATURE_DIM = 16
 class FakeDecoder:
     """Deterministic stand-in for an image/audio decode + feature extract.
 
-    __init__ = the once-per-actor model load (here: a fixed projection
-    matrix); __call__ = per-batch vectorized decode.  Features: byte
+    __init__ = the once-per-actor setup slot (where a real decoder loads
+    its model); __call__ = per-batch vectorized decode.  Features: byte
     histogram (16 coarse bins, exact ints) + payload length — deterministic
     and cheap, so tests can pin exact values.
     """
 
     def __init__(self, feature_dim: int = FEATURE_DIM):
         self.dim = feature_dim
-        rng = np.random.default_rng(4242)       # "model weights"
-        self.proj = rng.normal(size=(256, feature_dim))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payload = batch["payload"]
@@ -239,9 +237,10 @@ def resize_stage(media_ds, out_dim: int = RESIZE_DIM, concurrency=(1, 2)):
 # Driver queries
 
 def multimodal_features_documents(sf_dir: str):
-    """(media_id, n_bytes, hist_0) — first histogram bin is SQL-expressible
-    (count of bytes < 16 = control chars; none in text -> deterministic),
-    n_bytes = octet_length.  Exercises the full actor-pool decode path."""
+    """(media_id, n_bytes, hist_hi) — hist_hi sums histogram bins 6-7
+    (bytes in [96, 128): lowercase ASCII, SQL-expressible as a range
+    count), n_bytes = octet_length.  Exercises the full actor-pool decode
+    path."""
     feats = decode_stage(media_from_documents(sf_dir))
 
     def project(batch: pa.Table) -> pa.Table:

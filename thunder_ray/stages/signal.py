@@ -156,6 +156,12 @@ def fourier_2d(Y: np.ndarray, freq: int) -> tuple[np.ndarray, np.ndarray]:
     """Normalized FFT coherence + phase at ``freq`` per row (oracle.fourier)."""
     Y = np.asarray(Y, dtype=np.float64)
     n, d = Y.shape
+    if not 0 <= freq < d // 2:
+        # thunder raises 'requested frequency is too high' at the Nyquist
+        # bound (series.py fourier); a bare IndexError mid-pipeline is the
+        # wrong failure mode (review r4)
+        raise ValueError(f"fourier: freq {freq} outside [0, {d // 2}) — "
+                         f"exceeds the Nyquist bound for length-{d} series")
     Yc = Y - Y.mean(axis=1)[:, None]
     ft = np.fft.fft(Yc, axis=1)[:, : d // 2]
     amp = 2.0 * np.abs(ft) / d
