@@ -156,3 +156,96 @@ def test_to_text_refuses_empty_records(ray_session, tmp_path):
     ds = from_list([[1, 2], []])
     with pytest.raises(Exception, match="zero-length"):
         to_text(ds, str(tmp_path / "txt"))
+
+
+# ---------------------------------------------------------------------------
+# fourth review batch (functions/ + state/)
+
+def test_sketch_distinct_batches_with_equal_partials_both_count(ray_session):
+    """tokens [1,3] and [2,2] roll to identical (source,bucket,count,sum)
+    partials; the old content key silently dropped the second batch."""
+    import ray.data as rd
+
+    from thunder_ray.state.sketch import ContinuousAggregate
+
+    def tok_table(vals, ids):
+        return pa.table({
+            "doc_id": pa.array([f"doc-{i:08d}" for i in ids]),
+            "tokens": pa.array([list(v) for v in vals],
+                               type=pa.list_(pa.int32())),
+            "n_tok": pa.array([len(v) for v in vals], type=pa.int32()),
+            "source": pa.array(["s"] * len(vals)),
+        })
+
+    agg = ContinuousAggregate(60, num_shards=2)
+    agg.ingest_dataset(rd.from_arrow(tok_table([[1, 3]], [0])))
+    agg.ingest_dataset(rd.from_arrow(tok_table([[2, 2]], [1])))
+    snap = agg.snapshot()
+    assert snap["count"].sum() == 4 and snap["sum"].sum() == 8
+
+
+def test_snapshots_before_any_ingest_are_empty(ray_session):
+    from thunder_ray.state.hll import HllContinuousAggregate
+    from thunder_ray.state.sketch import ContinuousAggregate
+
+    assert len(ContinuousAggregate(60, num_shards=2).snapshot()) == 0
+    assert len(HllContinuousAggregate(num_shards=2).snapshot()) == 0
+
+
+def test_png_short_ihdr_raises_valueerror():
+    import struct
+    import zlib
+
+    from thunder_ray.functions.png import decode_png
+
+    def chunk(tag, body):
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+    blob = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", b"\x00\x01")
+            + chunk(b"IDAT", zlib.compress(b"\x00")) + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="IHDR"):
+        decode_png(blob)
+
+
+def test_png_all_up_fast_path_matches_loop():
+    from thunder_ray.functions import png as P
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (37, 23), dtype=np.uint8)
+    blob = P.encode_png(img)          # encoder emits all filter-2 rows
+    assert np.array_equal(P.decode_png(blob), img)
+    # force the scalar loop (mixed filters) on the same de-filter input by
+    # rewriting one row's filter byte to 0 with matching raw bytes
+    import zlib
+
+    h, w = img.shape
+    stream = np.zeros((h, 1 + w), dtype=np.uint8)
+    stream[:, 0] = 2
+    stream[0, 0] = 0                  # row 0: None (identical semantics)
+    stream[0, 1:] = img[0]
+    stream[1:, 1:] = img[1:] - img[:-1]
+    out = P._defilter(stream.reshape(-1), h, w, 1)
+    assert np.array_equal(out, img)
+
+
+def test_tiff_corrupt_inputs_raise_valueerror():
+    import struct
+
+    from thunder_ray.functions.tiff import decode_tiff, encode_tiff
+
+    # sanity: round-trips still work for both dtypes
+    assert decode_tiff(encode_tiff(
+        np.zeros((2, 4, 4), dtype=np.uint8))).dtype == np.uint8
+    assert decode_tiff(encode_tiff(
+        np.ones((1, 4, 4), dtype=np.uint16))).dtype == np.uint16
+    # fabricated n_entries past the buffer: ValueError, not struct.error
+    blob = (b"II*\x00" + struct.pack("<I", 8) + struct.pack("<H", 5000)
+            + b"\x00" * 20)
+    with pytest.raises(ValueError, match="truncated TIFF"):
+        decode_tiff(blob)
+    # empty IFD: missing mandatory tags must be the codec's ValueError
+    blob = (b"II*\x00" + struct.pack("<I", 8) + struct.pack("<H", 0)
+            + struct.pack("<I", 0))
+    with pytest.raises(ValueError, match="missing width/height"):
+        decode_tiff(blob)

@@ -91,6 +91,11 @@ def _defilter(stream: np.ndarray, h: int, rowbytes: int, bpp: int) -> np.ndarray
     stream = stream.reshape(h, 1 + rowbytes)
     ftypes = stream[:, 0]
     rows = stream[:, 1:]
+    if h and (ftypes == 2).all():
+        # all-Up images (everything our encoder emits) de-filter as ONE
+        # wrapping column-wise cumulative sum — no per-row Python on the
+        # hot restore path (review r4); uint8 accumulate wraps mod 256
+        return np.add.accumulate(rows, axis=0, dtype=np.uint8)
     out = np.empty((h, rowbytes), dtype=np.uint8)
     prior = np.zeros(rowbytes, dtype=np.uint8)
     lanes = rowbytes // bpp
@@ -149,6 +154,10 @@ def decode_png(data: bytes, verify_crc: bool = True) -> np.ndarray:
             break
     if ihdr is None or not idat:
         raise ValueError("truncated PNG (missing IHDR/IDAT)")
+    if len(ihdr) != 13:
+        # a short IHDR body passes the length/CRC chunk checks but would
+        # raise struct.error below, breaking the ValueError contract
+        raise ValueError(f"corrupt PNG: IHDR body is {len(ihdr)} bytes, expected 13")
     w, h, depth, color_type, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
     if comp != 0 or filt != 0:
         raise ValueError("unsupported PNG compression/filter method")

@@ -120,6 +120,11 @@ def decode_tiff(data: bytes) -> np.ndarray:
         if ifd_off + 2 > len(data):
             raise ValueError("truncated TIFF (IFD offset past end)")
         (n_entries,) = struct.unpack_from(e + "H", data, ifd_off)
+        if ifd_off + 2 + n_entries * 12 + 4 > len(data):
+            # entry table + next-IFD pointer must fit in the buffer — a
+            # fabricated n_entries raised struct.error instead of the
+            # codec's ValueError contract (review r4)
+            raise ValueError("truncated TIFF (IFD entry table past end)")
         tags = {}
         for i in range(n_entries):
             tag, vals = _read_entry(data, ifd_off + 2 + i * 12, e)
@@ -127,6 +132,10 @@ def decode_tiff(data: bytes) -> np.ndarray:
                 tags[tag] = vals
         (ifd_off,) = struct.unpack_from(e + "I", data, ifd_off + 2 + n_entries * 12)
 
+        if _TAG_WIDTH not in tags or _TAG_HEIGHT not in tags:
+            raise ValueError("corrupt TIFF: IFD missing width/height tags")
+        if _TAG_STRIP_OFFSETS not in tags or _TAG_STRIP_BYTE_COUNTS not in tags:
+            raise ValueError("corrupt TIFF: IFD missing strip layout tags")
         w = tags[_TAG_WIDTH][0]
         h = tags[_TAG_HEIGHT][0]
         bits = tags.get(_TAG_BITS, (8,))[0]
@@ -155,4 +164,8 @@ def decode_tiff(data: bytes) -> np.ndarray:
     shapes = {p.shape for p in pages}
     if len(shapes) != 1:
         raise ValueError(f"mixed page shapes in stack: {shapes}")
+    dtypes = {p.dtype for p in pages}
+    if len(dtypes) != 1:
+        # np.stack would silently upcast a mixed 8/16-bit stack (review r4)
+        raise ValueError(f"mixed page dtypes in stack: {dtypes}")
     return np.stack(pages)

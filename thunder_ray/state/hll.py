@@ -131,11 +131,11 @@ class HllContinuousAggregate:
 
         tbls = [_unipc(b) for b in
                 ray.get([s.snapshot.remote() for s in self.shards])]
-        merged = pa.concat_tables([t for t in tbls if len(t)])
-        if merged.num_rows == 0:
+        tbls = [t for t in tbls if len(t)]
+        if not tbls:     # concat_tables([]) raises — nothing ingested yet
             return pd.DataFrame({"bucket": pd.Series([], dtype=np.int64),
                                  "approx_distinct": pd.Series([], dtype=float)})
-        df = merged.to_pandas()
+        df = pa.concat_tables(tbls).to_pandas()
         out_b, out_e = [], []
         for bk, g in df.groupby("bucket"):
             out_b.append(np.int64(bk))

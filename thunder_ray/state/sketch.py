@@ -25,6 +25,7 @@ so no watermark machinery exists or is needed.
 from __future__ import annotations
 
 import hashlib
+from collections import deque
 
 import numpy as np
 import pandas as pd
@@ -35,17 +36,20 @@ import ray
 from ..stages.rollup import BucketizePartials, finalize_tier
 
 
-def _content_key(tbl: pa.Table) -> str:
+def _batch_identity_key(batch: pa.Table) -> str:
+    """Retry-dedup key = the identity of the INPUT batch (its doc_id set),
+    not the partials' content: two legitimately distinct batches can roll
+    to identical (source, bucket, count, sum) partials (e.g. tokens [1,3]
+    vs [2,2]) and a content key silently dropped the second one (review
+    r4).  doc_ids are unique per record and batches are disjoint record
+    sets, so the doc_id bytes identify the batch exactly, while a Ray task
+    retry reproduces the same batch -> the same key (idempotent)."""
+    c = batch["doc_id"]
+    if isinstance(c, pa.ChunkedArray):
+        c = c.combine_chunks()
     h = hashlib.md5()
-    for col in ("source", "bucket", "count", "sum"):
-        c = tbl[col]
-        if isinstance(c, pa.ChunkedArray):
-            c = c.combine_chunks()
-        if pa.types.is_dictionary(c.type) or pa.types.is_string(c.type):
-            h.update("\x00".join(c.cast(pa.string()).to_pylist()).encode())
-        else:
-            h.update(np.ascontiguousarray(
-                c.to_numpy(zero_copy_only=False)).tobytes())
+    h.update(str(len(batch)).encode())
+    h.update("\x00".join(c.cast(pa.string()).to_pylist()).encode())
     return h.hexdigest()
 
 
@@ -68,16 +72,26 @@ class SketchShard:
 
     _COLS = ["source", "bucket", "count", "sum", "sumsq", "min", "max"]
 
+    # retry-ledger bound: a Ray task retry lands promptly after the failed
+    # attempt, so only a recent window of keys is needed for idempotency —
+    # an unbounded set leaked ~37 B per ingested batch forever on a
+    # continuous stream (review r4).  1e6 keys ~ 37 MB per shard.
+    SEEN_MAX = 1_000_000
+
     def __init__(self):
         self.state: pa.Table | None = None
         self.pending: list[pa.Table] = []
         self.pending_rows = 0
         self.seen: set = set()
+        self._seen_order: deque = deque()
 
     def ingest(self, key: str, blob: bytes) -> int:
         if key in self.seen:
             return 0
         self.seen.add(key)
+        self._seen_order.append(key)
+        if len(self._seen_order) > self.SEEN_MAX:
+            self.seen.discard(self._seen_order.popleft())
         tbl = _source_as_string(pa.ipc.open_stream(blob).read_all())
         # fold lazily: append the blob's partials and compact only when the
         # pending backlog reaches the state size — amortized O(rows log rows)
@@ -154,9 +168,12 @@ class ContinuousAggregate:
 
         def ingest(batch: pa.Table) -> pa.Table:
             partials = bucketize(batch)
-            key = _content_key(partials)
+            key = _batch_identity_key(batch)
             src = np.asarray(partials["source"].to_pylist(), dtype=object)
-            shard_ids = np.array([_shard_of(s, num) for s in src])
+            # hash UNIQUE sources only (sources repeat across many partial
+            # rows; one md5 per row was the per-batch hot path, review r4)
+            u, inv = np.unique(src, return_inverse=True)
+            shard_ids = np.array([_shard_of(s, num) for s in u])[inv]
             refs = []
             for sid in np.unique(shard_ids):
                 sub = partials.filter(pa.array(shard_ids == sid))
@@ -180,8 +197,9 @@ class ContinuousAggregate:
         """Current rolled points (finalized mean/m2), sorted."""
         blobs = ray.get([s.snapshot.remote() for s in self.shards])
         tbls = [pa.ipc.open_stream(b).read_all() for b in blobs]
-        merged = pa.concat_tables([t for t in tbls if len(t)])
-        if merged.num_rows == 0:
+        tbls = [t for t in tbls if len(t)]
+        if not tbls:     # concat_tables([]) raises — nothing ingested yet
             return pd.DataFrame()
+        merged = pa.concat_tables(tbls)
         out = finalize_tier(merged).to_pandas()
         return out.sort_values(["source", "bucket"]).reset_index(drop=True)
