@@ -68,6 +68,23 @@ def _load_queries(sf_dir: str):
     return qids, Q
 
 
+
+def _truncate_topk(qid: np.ndarray, vec: np.ndarray, dot: np.ndarray):
+    """Per-batch per-query top-K truncation ((dot DESC, vec ASC), the final
+    merge's exact ordering) — the global top-K of per-batch top-Ks equals
+    the global top-K of all candidates, so this is result-identical while
+    bounding the repartition(1) merge to #batches x #queries x K rows at
+    ANY corpus size (review r4: the LSH/IVF paths emitted every bucket hit
+    untruncated, an O(n) single-task merge at scale)."""
+    order = np.lexsort((vec, -dot, qid))
+    qs = qid[order]
+    starts = np.flatnonzero(np.r_[True, qs[1:] != qs[:-1]])
+    runs = np.diff(np.append(starts, len(qs)))
+    rank = np.arange(len(qs)) - np.repeat(starts, runs)
+    keep = order[rank < TOP_K]
+    return qid[keep], vec[keep], dot[keep]
+
+
 def ann_topk_embeddings(sf_dir: str):
     """Exact top-K neighbours per query by int64 dot product (self excluded),
     ties broken by ascending vec_id."""
@@ -185,9 +202,9 @@ def ann_lsh_topk_embeddings(sf_dir: str):
             hits &= vec[:, None] != self.qids[None, :]   # self-match excluded
             D = Y @ self.Q.T                             # (n, Qn) int64 exact
             row, qcol = np.nonzero(hits)
-            return pa.table({"query_id": _i64(self.qids[qcol]),
-                             "vec_id": _i64(vec[row]),
-                             "dot_s": _i64(D[row, qcol])})
+            q, v, dd = _truncate_topk(self.qids[qcol], vec[row], D[row, qcol])
+            return pa.table({"query_id": _i64(q), "vec_id": _i64(v),
+                             "dot_s": _i64(dd)})
 
     cand = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                            columns=["vec_id", "embedding"]).map_batches(
@@ -258,9 +275,9 @@ def ann_ivf_topk_embeddings(sf_dir: str):
             hits &= vec[:, None] != self.qids[None, :]
             D = Y @ self.Q.T
             row, qcol = np.nonzero(hits)
-            return pa.table({"query_id": _i64(self.qids[qcol]),
-                             "vec_id": _i64(vec[row]),
-                             "dot_s": _i64(D[row, qcol])})
+            q, v, dd = _truncate_topk(self.qids[qcol], vec[row], D[row, qcol])
+            return pa.table({"query_id": _i64(q), "vec_id": _i64(v),
+                             "dot_s": _i64(dd)})
 
     cand = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                            columns=["vec_id", "embedding"]).map_batches(

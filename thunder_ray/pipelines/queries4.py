@@ -89,8 +89,15 @@ def rolling_mean_1m(sf_dir: str, shard: int = DAY_SHARD):
         g = g.sort_values(["bucket", "carry"])
         s = g["sum"].to_numpy(np.int64)
         c = g["count"].to_numpy(np.int64)
-        ws = pd.Series(s).rolling(ROLL_WINDOW, min_periods=1).sum().to_numpy().astype(np.int64)
-        wc = pd.Series(c).rolling(ROLL_WINDOW, min_periods=1).sum().to_numpy().astype(np.int64)
+        # int64 cumsum difference, NOT pandas rolling().sum(): pandas
+        # accumulates in float64 and a window sum past 2^53 would round
+        # before the cast, silently diverging from the SQL twin's exact
+        # BIGINT window SUM (review r4)
+        cs = np.concatenate([[0], np.cumsum(s)])
+        cc = np.concatenate([[0], np.cumsum(c)])
+        lo = np.maximum(np.arange(len(s)) + 1 - ROLL_WINDOW, 0)
+        ws = cs[1:] - cs[lo]
+        wc = cc[1:] - cc[lo]
         keep = g["carry"].to_numpy(np.int64) == 0
         return pd.DataFrame({
             "source": g["source"].to_numpy()[keep],
@@ -234,6 +241,10 @@ def asof_join_events_1m(sf_dir: str, shard: int = DAY_SHARD * 30):
         uniq, code = _factorize_source(batch["event_type"])
         day = batch["day"].to_numpy(zero_copy_only=False).astype(np.int64)
         b = batch["ebucket"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(day) and int(day.min()) < 0:
+            # a sign-extended negative day ORed into the pack collapses all
+            # keys (review r4; same guard as queries5's topk partial)
+            raise ValueError("asof: pre-epoch day outside the pack range")
         key = (code << 32) | day
         order = np.lexsort((b, key))
         k = key[order]

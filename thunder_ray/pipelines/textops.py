@@ -26,6 +26,9 @@ import pyarrow.compute as pc
 from ..util import (GuardedShard, derive_parallelism, fanin_partitions,
                     sized_parallelism)
 
+# heap ceiling for single fan-in combine tasks (per-doc rows; review r4)
+FINAL_FANIN_MAX_ROWS = 20_000_000
+
 STOPWORDS = ["the", "a", "of", "and", "to", "in"]
 LANG_SCALE = 1_000_000
 
@@ -175,7 +178,11 @@ def _lang_profile_ds(sf_dir: str, strategy: str = "auto",
         word = batch["word"].to_numpy(zero_copy_only=False)
         n = batch["n"].to_numpy(zero_copy_only=False).astype(np.int64)
         uw, wcode = np.unique(word, return_inverse=True)
-        tot = np.bincount(wcode, weights=n.astype(np.float64)).astype(np.int64)
+        # integer accumulation: bincount's float64 weights would round a
+        # per-word total past 2^53, breaking the exact-weight contract
+        # shared with the groupby strategy and the SQL twin (review r4)
+        tot = np.zeros(len(uw), dtype=np.int64)
+        np.add.at(tot, wcode, n)
         return pa.table({
             "word": batch["word"],
             "lang": batch["lang"],
@@ -285,12 +292,29 @@ def _combine_doc_lang_sums(scored):
         return pa.table({"doc_id": _i64(doc[sel]),
                          "pred_lang": pa.array(lang[sel])})
 
+    def _final_guard(fn):
+        # bound the single fan-in task (review r4): per-doc rows at this
+        # point, so the heap ceiling mirrors util.TREE-style guards — a
+        # corpus beyond it must switch to a keyed groupby plan instead of
+        # OOMing the task silently
+        def g(batch: pa.Table) -> pa.Table:
+            if len(batch) > FINAL_FANIN_MAX_ROWS:
+                from ..util import TreeShardOverflowError
+
+                raise TreeShardOverflowError(
+                    f"final combine holds {len(batch)} rows > "
+                    f"{FINAL_FANIN_MAX_ROWS} — use a keyed groupby plan")
+            return fn(batch)
+
+        return g
+
     level1 = scored.map_batches(combine, batch_format="pyarrow",
                                 zero_copy_batch=True, batch_size=None)
     level2 = level1.repartition(fanin_partitions()).map_batches(
         combine, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
     merged = level2.repartition(1).map_batches(
-        combine, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+        _final_guard(combine), batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None)
     return merged.map_batches(best, batch_format="pyarrow", zero_copy_batch=True)
 
 
@@ -308,8 +332,11 @@ def language_id_documents(sf_dir: str, profile_strategy: str = "auto"):
 
     def flat_words(batch: pa.Table) -> pa.Table:
         doc = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        if len(doc) and int(doc.max()) >= 2**31:
-            raise ValueError("doc ids >= 2^31: widen the combiner key packing")
+        if len(doc) and (int(doc.min()) < 0 or int(doc.max()) >= 2**31):
+            # negative ids sign-extend through the (code << 32) | doc pack
+            # and silently merge groups (review r4)
+            raise ValueError("doc ids outside [0, 2^31): widen the combiner "
+                             "key packing")
         words = pc.split_pattern(batch["text"], " ")
         if isinstance(words, pa.ChunkedArray):
             words = words.combine_chunks()
@@ -622,12 +649,24 @@ def top_term_documents(sf_dir: str):
         return pa.table({"doc_id": _i64(doc[sel]), "word": pa.array(word[sel]),
                          "tf": _i64(tf_[sel]), "df": _i64(df_[sel])})
 
+    def final_best(batch: pa.Table) -> pa.Table:
+        if len(batch) > FINAL_FANIN_MAX_ROWS:
+            # bound the single fan-in task (review r4) — refuse loudly
+            # instead of OOMing; the remedy is a keyed groupby plan
+            from ..util import TreeShardOverflowError
+
+            raise TreeShardOverflowError(
+                f"top_term final combine holds {len(batch)} rows > "
+                f"{FINAL_FANIN_MAX_ROWS} — use a keyed groupby plan")
+        return best(batch)
+
     level1 = joined.map_batches(best, batch_format="pyarrow",
                                 zero_copy_batch=True, batch_size=None)
     level2 = level1.repartition(fanin_partitions()).map_batches(
         best, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
     return level2.repartition(1).map_batches(
-        best, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+        final_best, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None)
 
 
 TOP_TERM_SQL = """
