@@ -249,3 +249,53 @@ def test_tiff_corrupt_inputs_raise_valueerror():
             + struct.pack("<I", 0))
     with pytest.raises(ValueError, match="missing width/height"):
         decode_tiff(blob)
+
+
+# ---------------------------------------------------------------------------
+# sixth review batch (rollup core + synth + tokens)
+
+def test_factorize_source_refuses_nulls_and_synth_ids_unique(ray_session):
+    from thunder_ray.stages.rollup import BucketizePartials, _factorize_source
+    from thunder_ray.synth import generate_table
+
+    col = pa.array(["s", None, "s"])
+    with pytest.raises(ValueError, match="null source"):
+        _factorize_source(col)
+    # short last block must NOT collide doc_ids with the previous block
+    t = generate_table(25_000, rows_per_block=10_000)
+    ids = t["doc_id"].to_pylist()
+    assert len(set(ids)) == 25_000
+    assert ids[-1] == "doc-00024999"
+
+
+def test_write_tokens_parquet_param_mismatch_refuses(tmp_path):
+    from thunder_ray.synth import write_tokens_parquet
+
+    d = str(tmp_path / "tok")
+    write_tokens_parquet(d, rows=100, rows_per_block=50)
+    write_tokens_parquet(d, rows=100, rows_per_block=50)   # idempotent
+    with pytest.raises(ValueError, match="different parameters"):
+        write_tokens_parquet(d, rows=200, rows_per_block=50)
+
+
+def test_rerollup_factor_and_tier_order_validation(ray_session, tmp_path):
+    from thunder_ray.pipelines import tiers as tp
+    from thunder_ray.stages.rollup import RerollupPartials
+    from thunder_ray.synth import write_tokens_parquet
+
+    with pytest.raises(ValueError, match="factor"):
+        RerollupPartials(0)
+    d = write_tokens_parquet(str(tmp_path / "tok"), rows=100,
+                             rows_per_block=50)
+    with pytest.raises(ValueError, match="ascending"):
+        tp.run_rollup(d, str(tmp_path / "out"), tiers=("1m", "1d", "1h"))
+
+
+def test_tokenize_refuses_null_text(ray_session):
+    from thunder_ray.sources.tokens import _tokenize_batch
+
+    batch = pa.table({"doc_id": pa.array(["a", "b"]),
+                      "text": pa.array(["x y", None]),
+                      "source": pa.array(["s", "s"])})
+    with pytest.raises(ValueError, match="null text"):
+        _tokenize_batch(batch)

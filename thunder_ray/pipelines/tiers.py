@@ -173,11 +173,18 @@ def run_rollup(
     for tier in tiers:
         if tier == base_tier:
             continue
+        if TIERS[tier] <= TIERS[prev] or TIERS[tier] % TIERS[prev] != 0:
+            raise ValueError(
+                f"tiers must be ascending and divisible: {prev} -> {tier} "
+                f"({TIERS[prev]}s -> {TIERS[tier]}s)")
         factor = TIERS[tier] // TIERS[prev]
         prev_ds = rd.read_parquet(
             sorted(glob.glob(os.path.join(out_root, f"tier={prev}", "*.parquet")))
         )
-        _atomic_write_dir(ru.rerollup(prev_ds, factor), os.path.join(out_root, f"tier={tier}"))
+        _atomic_write_dir(
+            ru.rerollup(prev_ds, factor, merge_strategy=merge_strategy,
+                        expected_groups=expected_groups),
+            os.path.join(out_root, f"tier={tier}"))
         metrics[f"points_{tier}"] = _dir_rows(os.path.join(out_root, f"tier={tier}"))
         prev = tier
 
@@ -204,10 +211,9 @@ def rollup_streaming(input_path: str, out_root: str | None = None,
     from ..sources.tokens import read_tokens
 
     cols = ["doc_id", "tokens", "source"] + ([t0_column] if t0_column else [])
-    if os.path.isdir(input_path):
-        paths = sorted(glob.glob(os.path.join(input_path, "*.parquet")))
-    else:
-        paths = [input_path]
+    # reuse the shard lister's listing + empty-dir refusal (review r4: the
+    # inline duplicate skipped the FileNotFoundError guard)
+    paths = [f for shard in list_input_shards(input_path, 1) for f in shard]
     ds = read_tokens(paths, columns=cols, override_num_blocks=len(paths))
     partials = ds.map_batches(
         ru.BucketizePartials(TIERS["1m"], t0_column=t0_column),

@@ -37,9 +37,13 @@ def _tokenize_batch(batch: pa.Table) -> pa.Table:
     flattened words — no per-row Python.
     DuckDB oracle: ``list_transform(string_split(text, ' '), w -> length(w))``.
     """
+    if batch["text"].null_count:
+        # a null text would silently become a 0-token row (ListArray
+        # rebuilding drops the validity bitmap) while the SQL twin's
+        # list_transform(NULL) is NULL — refuse loudly (review r4)
+        raise ValueError("tokenize: null text values — clean the documents "
+                         "table upstream")
     words = pc.split_pattern(batch["text"], " ").combine_chunks()
-    if isinstance(words, pa.ChunkedArray):
-        words = words.combine_chunks()
     flat_lens = pc.utf8_length(words.values).cast(pa.int32())
     tokens = pa.ListArray.from_arrays(words.offsets, flat_lens)
     n_tok = pc.list_value_length(tokens).cast(pa.int32())

@@ -47,9 +47,23 @@ def _factorize_source(col) -> tuple[pa.Array, np.ndarray]:
     Python strings)."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
+    if col.null_count:
+        # a null index becomes NaN through to_numpy, NaN.astype(int64) is
+        # INT64_MIN, and INT64_MIN << 40 wraps to code 0 — silently merging
+        # null-source rows into a REAL source's group (review r4)
+        raise ValueError("rollup: null source values are not groupable — "
+                         "clean or fill the source column upstream")
     if pa.types.is_dictionary(col.type):
-        return col.dictionary, col.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-    d = col.dictionary_encode()
+        d = col
+    else:
+        d = col.dictionary_encode()
+    if len(d.dictionary) >= 1 << 23:
+        # the (code << 40 | bucket) pack wraps at 2^23 per-batch distinct
+        # sources (negative keys) and collides at 2^24 (review r4) —
+        # refuse loudly; the remedy is merge strategy="groupby" with
+        # smaller combine batches
+        raise ValueError("rollup: more than 2^23 distinct sources in one "
+                         "combine batch — use merge strategy='groupby'")
     return d.dictionary, d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
 
 
@@ -167,7 +181,10 @@ class RerollupPartials:
     """Tier -> coarser tier partials: re-key bucket//factor + in-batch combine."""
 
     def __init__(self, factor: int):
-        assert factor >= 1
+        if int(factor) < 1:
+            # assert vanishes under -O and bucket // 0 in numpy WARNS and
+            # returns 0, collapsing the tier into one bucket (review r4)
+            raise ValueError(f"rerollup factor must be >= 1, got {factor}")
         self.factor = int(factor)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -395,12 +412,17 @@ def finalize_all_tiers(batch: pa.Table) -> pa.Table:
     return pa.concat_tables(out)
 
 
-def rerollup(ds_tier, factor: int, batch_size: int | None = 8192):
-    """Rolled tier Dataset -> coarser tier (e.g. 1m -> 1h: factor=60)."""
+def rerollup(ds_tier, factor: int, batch_size: int | None = 8192,
+             merge_strategy: str = "auto", expected_groups: int | None = None):
+    """Rolled tier Dataset -> coarser tier (e.g. 1m -> 1h: factor=60).
+    ``merge_strategy``/``expected_groups`` forward to merge_partials so an
+    explicit groupby topology survives the re-rollup tiers too (review r4:
+    run_rollup(strategy='groupby') silently fell back to the tree here)."""
     cols = [c for c in PARTIAL_COLS]
     partials = ds_tier.select_columns(cols).map_batches(
         RerollupPartials(factor), batch_format="pyarrow",
         zero_copy_batch=True, batch_size=batch_size,
     )
-    merged = merge_partials(partials)
+    merged = merge_partials(partials, strategy=merge_strategy,
+                            expected_groups=expected_groups)
     return merged.map_batches(finalize_tier, batch_format="pyarrow", zero_copy_batch=True)

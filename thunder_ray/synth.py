@@ -27,15 +27,26 @@ N_SOURCES = 32
 MIN_TOK, MAX_TOK = 32, 512
 
 
-def generate_block(block_id: int, rows: int, seed: int = SEED) -> pa.Table:
-    """Generate one block deterministically: ``rng = default_rng(seed + block_id)``."""
+def generate_block(block_id: int, rows: int, seed: int = SEED,
+                   base: int | None = None) -> pa.Table:
+    """Generate one block deterministically: ``rng = default_rng(seed +
+    block_id)``.  ``base`` is the GLOBAL row index of the block's first row
+    — callers with a short last block must pass it explicitly (block_id *
+    rows would collide doc_ids with the previous block; review r4)."""
     rng = np.random.default_rng(seed + block_id)
     lens = rng.integers(MIN_TOK, MAX_TOK, size=rows, dtype=np.int64)
-    values = rng.integers(0, VOCAB_SIZE, size=int(lens.sum()), dtype=np.int32)
-    offsets = np.zeros(rows + 1, dtype=np.int32)
+    total = int(lens.sum())
+    if total >= 1 << 31:
+        # Arrow list offsets are int32; an int32 cumsum would wrap silently
+        # before from_arrays could complain (review r4)
+        raise ValueError("synth: block token count exceeds int32 offsets — "
+                         "lower rows_per_block")
+    values = rng.integers(0, VOCAB_SIZE, size=total, dtype=np.int32)
+    offsets = np.zeros(rows + 1, dtype=np.int64)
     np.cumsum(lens, out=offsets[1:])
+    offsets = offsets.astype(np.int32)
     src_idx = (rng.zipf(1.5, size=rows) - 1) % N_SOURCES
-    base = block_id * rows
+    base = block_id * rows if base is None else base
     doc_id = pa.array([f"doc-{base + i:08d}" for i in range(rows)], type=pa.string())
     tokens = pa.ListArray.from_arrays(pa.array(offsets), pa.array(values))
     source = pa.array([f"src-{k}" for k in src_idx], type=pa.string())
@@ -49,10 +60,12 @@ def generate_table(rows: int, rows_per_block: int = 10_000, seed: int = SEED) ->
     """Small in-memory table (tests). Same bits as the parquet path."""
     blocks = []
     bid = 0
+    done = 0
     while rows > 0:
         n = min(rows, rows_per_block)
-        blocks.append(generate_block(bid, n, seed))
+        blocks.append(generate_block(bid, n, seed, base=done))
         rows -= n
+        done += n
         bid += 1
     return pa.concat_tables(blocks)
 
@@ -68,20 +81,31 @@ def write_tokens_parquet(
     os.makedirs(out_dir, exist_ok=True)
     marker = os.path.join(out_dir, "_SUCCESS")
     n_blocks = (rows + rows_per_block - 1) // rows_per_block
+    stamp = f"rows={rows} rows_per_block={rows_per_block} seed={seed}\n"
     if os.path.exists(marker):
-        return out_dir
+        with open(marker) as f:
+            recorded = f.read()
+        if recorded == stamp:
+            return out_dir
+        # a rerun with DIFFERENT params must not silently return the old
+        # dataset (review r4) — refuse; the caller picks a fresh dir
+        raise ValueError(
+            f"{out_dir} holds a dataset with different parameters "
+            f"({recorded.strip()!r} vs {stamp.strip()!r}); use a new "
+            f"out_dir or delete the old one")
     left = rows
+    done = 0
     for bid in range(n_blocks):
         n = min(left, rows_per_block)
         left -= n
         part = os.path.join(out_dir, f"part-{bid:05d}.parquet")
-        if os.path.exists(part):
-            continue
-        tmp = part + ".tmp"
-        pq.write_table(generate_block(bid, n, seed), tmp)
-        os.replace(tmp, part)
+        if not os.path.exists(part):
+            tmp = part + ".tmp"
+            pq.write_table(generate_block(bid, n, seed, base=done), tmp)
+            os.replace(tmp, part)
+        done += n
     with open(marker, "w") as f:
-        f.write(f"rows={rows} rows_per_block={rows_per_block} seed={seed}\n")
+        f.write(stamp)
     return out_dir
 
 
@@ -98,7 +122,9 @@ def synth_dataset(rows: int, rows_per_block: int = 10_000, seed: int = SEED):
 
     def make(batch):
         bids = batch["id"].to_pylist() if isinstance(batch, pa.Table) else list(batch["id"])
-        return pa.concat_tables([generate_block(int(b), sizes[int(b)], seed) for b in bids])
+        return pa.concat_tables([
+            generate_block(int(b), sizes[int(b)], seed,
+                           base=int(b) * rows_per_block) for b in bids])
 
     return rd.range(n_blocks, override_num_blocks=n_blocks).map_batches(
         make, batch_format="pyarrow", batch_size=1
