@@ -299,3 +299,41 @@ def test_tokenize_refuses_null_text(ray_session):
                       "source": pa.array(["s", "s"])})
     with pytest.raises(ValueError, match="null text"):
         _tokenize_batch(batch)
+
+
+# ---------------------------------------------------------------------------
+# seventh review batch (queries core)
+
+def test_between_tokens_short_docs_match_sql(ray_session):
+    """Docs with < left+1 tokens have no rows in the twin's WHERE/GROUP BY;
+    the engine must drop them too, not emit (0, 0) rows."""
+    import duckdb
+
+    from thunder_ray.pipelines.queries import (BETWEEN_TOKENS_SQL,
+                                               between_tokens)
+
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+        "text": pa.array(["one two", "a b c d e", "w1 w2 w3 w4 w5 w6"]),
+        "lang": pa.array(["en"] * 3),
+        "source": pa.array(["s"] * 3),
+        "n_chars": pa.array([7, 9, 17], type=pa.int64()),
+    })
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(docs, os.path.join(d, "documents.parquet"))
+        got = between_tokens(d).to_pandas().sort_values(
+            "doc_id").reset_index(drop=True)
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{d}/documents.parquet'")
+        want = con.sql(BETWEEN_TOKENS_SQL).df().sort_values(
+            "doc_id").reset_index(drop=True)
+    assert got["doc_id"].tolist() == want["doc_id"].tolist() == [1, 2]
+    pd.testing.assert_frame_equal(got, want[got.columns])
+
+
+def test_tokens_as_binary_payload_guard():
+    from thunder_ray.pipelines.queries3 import _tokens_as_binary
+
+    ok = pa.array([[1, 2, 3]], type=pa.list_(pa.int32()))
+    assert _tokens_as_binary(ok).to_pylist()[0] is not None

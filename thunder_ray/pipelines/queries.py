@@ -282,10 +282,16 @@ def between_tokens(sf_dir: str, left: int = 2, right: int = 9):
     def bet(batch: pa.Table) -> pa.Table:
         vals, offs = lk.list_parts(batch["tokens"])
         v, new_off = lk.seg_between(vals, offs, left, right)
+        n = np.diff(new_off)
+        # docs with NO position in [left, right] (< left+1 tokens) have no
+        # rows in the twin's WHERE/GROUP BY — drop them here too instead of
+        # emitting a (0, 0) row the oracle lacks (review r4)
+        keep = n > 0
         return pa.table({
-            "doc_id": _i64(batch["doc_id_int"].to_numpy(zero_copy_only=False)),
-            "n_between": _i64(np.diff(new_off)),
-            "sum_between": _i64(lk.seg_sum(v.astype(np.int64), new_off)),
+            "doc_id": _i64(batch["doc_id_int"].to_numpy(
+                zero_copy_only=False)[keep]),
+            "n_between": _i64(n[keep]),
+            "sum_between": _i64(lk.seg_sum(v.astype(np.int64), new_off)[keep]),
         })
 
     return ds.map_batches(bet, batch_format="pyarrow", zero_copy_batch=True)
@@ -580,7 +586,18 @@ FROM flat GROUP BY pos
 def rollup_events_1h(sf_dir: str):
     ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
 
+    _EMPTY_EV = pa.table({
+        "event_type": pa.array([], type=pa.string()),
+        "bucket": pa.array([], type=pa.int64()),
+        "count": pa.array([], type=pa.int64()),
+        "sum_s": pa.array([], type=pa.int64()),
+        "min_s": pa.array([], type=pa.int64()),
+        "max_s": pa.array([], type=pa.int64()),
+    })
+
     def partials(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return _EMPTY_EV
         ts_us = batch["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
         bucket = ts_us // 1_000_000 // 3600
         v = np.floor(batch["value"].to_numpy(zero_copy_only=False) * SCALE).astype(np.int64)
@@ -591,13 +608,21 @@ def rollup_events_1h(sf_dir: str):
             raise ValueError("tier bucket outside the 40-bit pack range "
                              "(pre-epoch or far-future timestamp)")
         key = (code.astype(np.int64) << 40) | bucket
-        offs = np.array([0, len(v)], dtype=np.int64)
-        k, cnt, s, q, mn, mx = lk.seg_moments_by_key(v, offs, key)
+        # count/sum/min/max only — seg_moments_by_key's sumsq pass is
+        # unused here and its v*v products (~3e17 per element at sf0.1
+        # value scale) were a silent-wrap trap (review r4)
+        order = np.argsort(key, kind="stable")
+        ks = key[order]
+        starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+        vo = v[order]
+        k = ks[starts]
         return pa.table({
             "event_type": pa.array(uniq[(k >> 40).astype(np.int64)]),
             "bucket": _i64(k & ((1 << 40) - 1)),
-            "count": _i64(cnt), "sum_s": _i64(s),
-            "min_s": _i64(mn), "max_s": _i64(mx),
+            "count": _i64(np.diff(np.append(starts, len(ks)))),
+            "sum_s": _i64(np.add.reduceat(vo, starts)),
+            "min_s": _i64(np.minimum.reduceat(vo, starts)),
+            "max_s": _i64(np.maximum.reduceat(vo, starts)),
         })
 
     from ray.data.aggregate import Max, Min, Sum

@@ -34,6 +34,12 @@ def _tokens_as_binary(tokens) -> pa.BinaryArray:
     if isinstance(tokens, pa.ChunkedArray):
         tokens = tokens.combine_chunks()
     off = tokens.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    if int(off[-1] - off[0]) * 4 >= 1 << 31:
+        # int32 binary offsets would wrap silently and the join would carry
+        # garbage payloads (review r4) — refuse loudly; the remedy is a
+        # smaller batch_size on the zip join's map stages
+        raise ValueError("tokens batch exceeds 2^31 payload bytes — lower "
+                         "the batch size")
     rel = ((off - off[0]) * 4).astype(np.int32)
     data = tokens.values.slice(int(off[0]), int(off[-1] - off[0]))
     return pa.BinaryArray.from_buffers(
