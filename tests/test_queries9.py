@@ -125,21 +125,33 @@ def test_lttb_matches_naive():
 def test_lttb_downsample_events_properties(ray_session):
     import pyarrow.parquet as pq
 
+    from thunder_ray.pipelines.queries import SCALE
     from thunder_ray.pipelines.queries9 import (LTTB_POINTS,
                                                 lttb_downsample_events)
 
     got = _to_df(lttb_downsample_events(SF01))
+    # independent 1m rollup: mean of floor(value*SCALE) per (type, bucket)
     ev = pq.read_table(f"{SF01}/events.parquet",
                        columns=["ts", "event_type", "value"]).to_pandas()
-    ev["ts_us"] = ev["ts"].astype("datetime64[us]").astype(np.int64)
-    for et, g in ev.groupby("event_type"):
+    ev["bucket"] = (ev["ts"].astype("datetime64[us]").astype(np.int64)
+                    // 1_000_000 // 60)
+    ev["sv"] = np.floor(ev["value"].to_numpy(np.float64) * SCALE)
+    rolled = (ev.groupby(["event_type", "bucket"])["sv"].mean()
+              .reset_index())
+    for et, g in rolled.groupby("event_type"):
+        g = g.sort_values("bucket")
         sub = got[got["event_type"] == et].sort_values("ts_us")
         n = min(len(g), LTTB_POINTS)
         assert len(sub) == n
-        # endpoints kept; picks are a subset of the source series
-        assert sub["ts_us"].iloc[0] == g["ts_us"].min()
-        assert sub["ts_us"].iloc[-1] == g["ts_us"].max()
-        assert set(sub["ts_us"]).issubset(set(g["ts_us"]))
+        # exact pick equality vs the naive reference over the rolled series
+        x = g["bucket"].to_numpy(np.float64)
+        y = g["sv"].to_numpy(np.float64)
+        idx = _lttb_naive(x, y, LTTB_POINTS)
+        want_ts = g["bucket"].to_numpy(np.int64)[idx] * 60_000_000
+        want_v = y[idx] / SCALE
+        assert sub["ts_us"].tolist() == want_ts.tolist()
+        np.testing.assert_allclose(sub["value"].to_numpy(), want_v,
+                                   rtol=1e-12)
 
 
 # ---------------------------------------------------------------------------

@@ -584,6 +584,26 @@ FROM flat GROUP BY pos
 # Events rollup (natural time-series oracle: real timestamps, skewed types)
 
 def rollup_events_1h(sf_dir: str):
+    return _rollup_events(sf_dir, 3600)
+
+
+# Materialized events tiers (LTTB and other display-scale consumers read
+# the rolled points, never the raw stream) — same cache discipline as
+# _TIER_CACHE above, keyed on the events parquet's fingerprint.
+_EV_TIER_CACHE: dict = {}
+
+
+def rollup_events_tier(sf_dir: str, tier_seconds: int):
+    key = (sf_dir, _source_fingerprint(sf_dir, "events"), tier_seconds)
+    if key not in _EV_TIER_CACHE:
+        for k in [k for k in _EV_TIER_CACHE
+                  if k[0] == sf_dir and k[2] == tier_seconds]:
+            del _EV_TIER_CACHE[k]
+        _EV_TIER_CACHE[key] = _rollup_events(sf_dir, tier_seconds).materialize()
+    return _EV_TIER_CACHE[key]
+
+
+def _rollup_events(sf_dir: str, tier_seconds: int):
     ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
 
     _EMPTY_EV = pa.table({
@@ -599,7 +619,7 @@ def rollup_events_1h(sf_dir: str):
         if len(batch) == 0:
             return _EMPTY_EV
         ts_us = batch["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
-        bucket = ts_us // 1_000_000 // 3600
+        bucket = ts_us // 1_000_000 // tier_seconds
         v = np.floor(batch["value"].to_numpy(zero_copy_only=False) * SCALE).astype(np.int64)
         src = batch["event_type"].to_numpy(zero_copy_only=False)
         uniq, code = np.unique(src, return_inverse=True)
