@@ -64,7 +64,13 @@ def _headline_input(rows: int) -> str:
     from thunder_ray.synth import write_tokens_parquet
 
     path = os.path.join(BENCH_TMP, f"tokens_{rows}")
-    return write_tokens_parquet(path, rows)
+    try:
+        return write_tokens_parquet(path, rows)
+    except ValueError:
+        # stale scratch from an older generator version (the _SUCCESS stamp
+        # is versioned) — this dir is bench-owned scratch, so regenerate
+        shutil.rmtree(path, ignore_errors=True)
+        return write_tokens_parquet(path, rows)
 
 
 def _warmup(num_cpus: int):

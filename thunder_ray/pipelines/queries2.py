@@ -6,10 +6,13 @@ Float-exactness discipline (same as queries.py): every hash-compared float
 column is computed from EXACT float64 quantities (integer moments, or
 quarter-rationals from percentile interpolation of ints) so that any
 algebraically-equivalent expression — ours and DuckDB's — yields identical
-bits.  Ops whose floats are genuinely inexact (fourier, crosscorr,
-convolve over normalized values) ship WITHOUT an oracle_sql twin: the
-driver records the weaker rows-only check and pytest pins them to the
-NumPy oracle instead (tests/test_signal.py).
+bits.  crosscorr and convolve are pure integer convolutions of scaled
+inputs, so they carry scaled-int SQL twins (round 4).  fourier's phase is
+genuinely inexact (irrational cos/sin coefficients), so the full spectrum
+ships rows-only with a NumPy-oracle pytest (tests/test_signal.py); the
+DFT bins at k in {0, N/4, N/2} ARE exact integer polynomials of the
+tokens, and ``fourier_probe_amp2_tokens`` (queries9) pins the same kernel
+against a hash-exact SQL twin at those bins.
 """
 
 from __future__ import annotations

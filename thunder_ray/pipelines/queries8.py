@@ -58,7 +58,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from ..util import sized_parallelism
+from ..util import meta_count, sized_parallelism
 
 MAX_CC_ROUNDS = 64            # > any plausible near-dup cluster diameter
 DROP_BROADCAST_MAX = 2_000_000  # ~16 MB of int64 ids; above -> groupby path
@@ -138,7 +138,7 @@ def _dup_clusters_uncached(sf_dir: str):
 
     pairs = ngram_jaccard_pairs_documents(sf_dir).select_columns(
         ["doc_lo", "doc_hi"]).materialize()
-    n_pairs = pairs.count()
+    n_pairs = meta_count(pairs)   # block metadata — no execution
     if n_pairs == 0:
         return pa.table({"doc_id": _i64([]), "cluster": _i64([])})
 
@@ -185,7 +185,7 @@ def dedup_apply_documents(sf_dir: str):
 
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "n_chars"])
-    n_drop = drop.count() if not isinstance(drop, pa.Table) else len(drop)
+    n_drop = meta_count(drop) if not isinstance(drop, pa.Table) else len(drop)
     if n_drop == 0:
         return docs
 

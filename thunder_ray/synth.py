@@ -81,18 +81,25 @@ def write_tokens_parquet(
     os.makedirs(out_dir, exist_ok=True)
     marker = os.path.join(out_dir, "_SUCCESS")
     n_blocks = (rows + rows_per_block - 1) // rows_per_block
-    stamp = f"rows={rows} rows_per_block={rows_per_block} seed={seed}\n"
+    # v=2: generator format version (ADVICE r4) — v2 added the ``base=``
+    # parameter that fixed short-last-block doc_id collisions, so datasets
+    # stamped by the pre-fix generator must be refused and regenerated even
+    # though their rows=/rows_per_block=/seed= params match (the old marker
+    # carried no version token, so it never equals a v2 stamp).  Bump this
+    # whenever generate_block's output for the same params changes.
+    stamp = f"v=2 rows={rows} rows_per_block={rows_per_block} seed={seed}\n"
     if os.path.exists(marker):
         with open(marker) as f:
             recorded = f.read()
         if recorded == stamp:
             return out_dir
-        # a rerun with DIFFERENT params must not silently return the old
-        # dataset (review r4) — refuse; the caller picks a fresh dir
+        # a rerun with DIFFERENT params (or a dataset written by an older
+        # generator version) must not silently return the old dataset
+        # (review r4) — refuse; the caller picks a fresh dir
         raise ValueError(
-            f"{out_dir} holds a dataset with different parameters "
-            f"({recorded.strip()!r} vs {stamp.strip()!r}); use a new "
-            f"out_dir or delete the old one")
+            f"{out_dir} holds a dataset with different parameters or an "
+            f"older generator version ({recorded.strip()!r} vs "
+            f"{stamp.strip()!r}); use a new out_dir or delete the old one")
     left = rows
     done = 0
     for bid in range(n_blocks):
