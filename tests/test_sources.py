@@ -100,8 +100,13 @@ def test_tobinary_frombinary_roundtrip(ray_session, tmp_path):
     out = str(tmp_path / "bin")
     to_binary(from_array(vals), out)
     conf = json.load(open(f"{out}/conf.json"))
+    files = conf.pop("files")
     assert conf == {"nkeys": 1, "keytype": "<i8", "nvalues": 8,
                     "valuetype": "<i4", "keyprefix": "mem-", "keywidth": 8}
+    # the manifest names exactly the .bin parts this write produced
+    import os
+    assert sorted(files) == sorted(
+        p for p in os.listdir(out) if p.endswith(".bin"))
     rows = from_binary(out).take_all()
     assert len(rows) == 5
     # key-preserving contract (thunder readers.py keeps keys intact): the
@@ -180,3 +185,69 @@ def test_to_binary_rejects_mixed_id_family(ray_session):
     col = pa.array(["doc-00000042", "doc-42"], type=pa.string())
     with pytest.raises(ValueError, match="one doc_id family"):
         _keys_from_doc_ids(col)
+
+
+def test_frombinary_reads_only_the_manifest(ray_session, tmp_path):
+    """conf.json's file manifest is the authoritative read set (ADVICE r4):
+    a rerun of to_binary into the same dir after the data changed leaves
+    the old content-addressed parts behind, and a stray .bin planted in
+    the dir must be ignored — only the last write's records come back."""
+    import numpy as np
+
+    from thunder_ray.sources.binary import from_binary, to_binary
+    from thunder_ray.sources.series import from_array
+
+    out = str(tmp_path / "bin")
+    old = (np.arange(24, dtype=np.int32).reshape(3, 8) * 3) % 1000
+    to_binary(from_array(old), out)
+    # data changed -> rerun into the SAME dir (old parts stay on disk
+    # because names are content-addressed and never overwritten)
+    new = old + 1
+    to_binary(from_array(new), out)
+    # plus a stray file that is not part of any manifest
+    (tmp_path / "bin" / "part-999999999999-deadbeef00.bin").write_bytes(
+        b"\x00" * 40)
+    rows = from_binary(out).take_all()
+    assert len(rows) == 3
+    got = {int(r["doc_id"].split("-")[1]): np.asarray(r["tokens"])
+           for r in rows}
+    for i in range(3):
+        assert np.array_equal(got[i], new[i])
+
+
+def test_frombinary_refuses_missing_manifest_file(ray_session, tmp_path):
+    import json
+    import os
+
+    import numpy as np
+
+    from thunder_ray.sources.binary import from_binary, to_binary
+    from thunder_ray.sources.series import from_array
+
+    out = str(tmp_path / "bin")
+    vals = np.arange(16, dtype=np.int32).reshape(2, 8)
+    to_binary(from_array(vals), out)
+    conf = json.load(open(f"{out}/conf.json"))
+    os.remove(os.path.join(out, conf["files"][0]))
+    with pytest.raises(ValueError, match="missing on disk"):
+        from_binary(out)
+
+
+def test_frombinary_legacy_conf_without_manifest(ray_session, tmp_path):
+    """A conf.json written before the manifest existed still reads (glob
+    fallback), so old dirs are not orphaned."""
+    import json
+
+    import numpy as np
+
+    from thunder_ray.sources.binary import from_binary, to_binary
+    from thunder_ray.sources.series import from_array
+
+    out = str(tmp_path / "bin")
+    vals = np.arange(16, dtype=np.int32).reshape(2, 8)
+    to_binary(from_array(vals), out)
+    conf = json.load(open(f"{out}/conf.json"))
+    del conf["files"]
+    json.dump(conf, open(f"{out}/conf.json", "w"))
+    rows = from_binary(out).take_all()
+    assert len(rows) == 2

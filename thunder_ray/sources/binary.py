@@ -144,15 +144,31 @@ def to_binary(ds, path: str, value_column: str = "tokens",
     d = int(manifest[0]["nvalues"]) if manifest else 0
     prefix, width = (manifest[0]["keyprefix"], int(manifest[0]["keywidth"])) \
         if manifest else ("doc-", 8)
+    # the write manifest's file list is persisted into conf.json and is the
+    # AUTHORITATIVE read set (ADVICE r4): content-addressed part names never
+    # overwrite, so a rerun into the same dir after the data changed (or a
+    # retried non-deterministic upstream block) can leave stale .bin files
+    # behind — a glob would silently return duplicated/mixed records.
+    # set(): two blocks with identical bytes and first key legitimately
+    # share one content-addressed file, which must be read once.
+    files = sorted({os.path.basename(m["file"]) for m in manifest})
     conf = {"nkeys": 1, "keytype": "<i8", "nvalues": d, "valuetype": valuetype,
-            "keyprefix": prefix, "keywidth": width}
-    with open(os.path.join(path, "conf.json"), "w") as f:
+            "keyprefix": prefix, "keywidth": width, "files": files}
+    tmp = os.path.join(path, "conf.json.tmp")
+    with open(tmp, "w") as f:
         json.dump(conf, f)
-    return path
+    os.replace(tmp, os.path.join(path, "conf.json"))   # atomic: readers see
+    return path                                        # old or new, not half
 
 
 def from_binary(path: str, source: str = "bin"):
-    """Binary dir (+conf.json) -> canonical Series Dataset."""
+    """Binary dir (+conf.json) -> canonical Series Dataset.
+
+    Reads ONLY the files named in conf.json's ``files`` manifest (ADVICE
+    r4): stale .bin parts left behind by an earlier run into the same dir
+    are ignored rather than silently mixed in, and a manifest file that is
+    missing on disk refuses loudly (the dir is corrupt/partially deleted).
+    A legacy conf.json without a manifest falls back to globbing."""
     import ray.data as rd
 
     with open(os.path.join(path, "conf.json")) as f:
@@ -163,8 +179,18 @@ def from_binary(path: str, source: str = "bin"):
     prefix = conf.get("keyprefix", "doc-")
     width = int(conf.get("keywidth", 8))
 
-    files = sorted(
-        os.path.join(path, p) for p in os.listdir(path) if p.endswith(".bin"))
+    names = conf.get("files")
+    if names is None:      # legacy dir written before the manifest existed
+        names = sorted(p for p in os.listdir(path) if p.endswith(".bin"))
+    else:
+        missing = [n for n in names
+                   if not os.path.exists(os.path.join(path, n))]
+        if missing:
+            raise ValueError(
+                f"frombinary: conf.json names {len(missing)} file(s) "
+                f"missing on disk (e.g. {missing[:3]}) — the dir is "
+                "corrupt or partially deleted")
+    files = sorted(os.path.join(path, p) for p in names)
     ds = rd.read_binary_files(files)
 
     def parse(batch: pa.Table) -> pa.Table:
