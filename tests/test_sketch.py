@@ -46,3 +46,34 @@ def test_sketch_idempotent_reingest(ray_session, tokens_table):
     agg.ingest_dataset(ds)  # simulated task retry: same content keys
     snap2 = agg.snapshot()
     pd.testing.assert_frame_equal(snap1, snap2)
+
+
+def test_exact_ledger_never_forgets_across_merges():
+    """ADVICE r4: the idempotency ledger must stay exact for the actor's
+    lifetime — a key ingested long ago (across many delta->base merges)
+    is still recognized, so a late lineage replay can never double-fold."""
+    from thunder_ray.state.sketch import ExactLedger
+
+    led = ExactLedger()
+    led._DELTA_MAX = 16          # force frequent merges
+    keys = [f"batch-{i}" for i in range(500)]
+    for k in keys:
+        assert led.seen(k) is False
+    # every historical key is still known, in any order
+    for k in reversed(keys):
+        assert led.seen(k) is True
+    assert len(led) == 500
+
+
+def test_exact_ledger_refuses_at_cap_instead_of_evicting():
+    import pytest
+
+    from thunder_ray.state.sketch import ExactLedger
+
+    led = ExactLedger(max_keys=10)
+    for i in range(10):
+        assert led.seen(f"k{i}") is False
+    # duplicates are still answered (no insert needed)
+    assert led.seen("k3") is True
+    with pytest.raises(RuntimeError, match="max_keys"):
+        led.seen("k-new")

@@ -12,10 +12,14 @@ partial moments (stages/rollup.BucketizePartials) and routes each partial
 row to its shard actor.
 
 Exactness under retries: Ray Data tasks are retried on failure, so ingest
-is **idempotent** — every ingest carries a deterministic content key and a
-shard drops keys it has already folded.  Because the folded quantities are
-exact integer moments, fold order is irrelevant and the sketch equals the
-batch rollup bit-for-bit at every snapshot (tested).
+is **idempotent** — every ingest carries a deterministic identity key and a
+shard drops keys it has already folded.  The folded-key ledger is EXACT for
+the actor's whole lifetime (a compact sorted-digest structure, 16 B/key;
+ADVICE r4: a bounded FIFO window silently double-folded a late lineage
+replay) and refuses loudly at a hard memory cap instead of evicting.
+Because the folded quantities are exact integer moments, fold order is
+irrelevant and the sketch equals the batch rollup bit-for-bit at every
+snapshot (tested).
 
 This is the 'incrementally-maintained batch aggregate' reading of
 continuous aggregates (SURVEY.md §2.8): per-doc token order is positional,
@@ -25,7 +29,6 @@ so no watermark machinery exists or is needed.
 from __future__ import annotations
 
 import hashlib
-from collections import deque
 
 import numpy as np
 import pandas as pd
@@ -53,6 +56,68 @@ def _batch_identity_key(batch: pa.Table) -> str:
     return h.hexdigest()
 
 
+class ExactLedger:
+    """Exact, compact, lifetime idempotency ledger (ADVICE r4).
+
+    Integer-moment folds are NOT idempotent, so a duplicate ingest silently
+    corrupts counts.  The r4 design bounded the folded-key ledger with FIFO
+    eviction, which reintroduced the bug for a late replay — Ray lineage
+    reconstruction is not bounded by "lands promptly".  This ledger never
+    silently forgets a key: each key is a 16-byte md5 digest held in a
+    small delta set that periodically merges into two lexsorted uint64
+    halves (16 B/key, searchsorted membership — ~100x denser than a Python
+    set of key strings; numpy's S16 dtype is unusable here: it strips
+    trailing NUL bytes, which real digests contain).  ``max_keys`` makes
+    the bound explicit and
+    checkable: at the cap the ledger REFUSES loudly — snapshot the
+    aggregate and restart the shard pool (a fresh pool resets Ray lineage,
+    so pre-restart replays cannot land) — rather than evicting keys and
+    risking a silent double-fold.  16M keys ~ 256 MB of digests, ~1.6e11
+    ingested rows per shard at 10k-row batches."""
+
+    MAX_KEYS = 16_000_000
+    _DELTA_MAX = 65_536
+
+    def __init__(self, max_keys: int | None = None):
+        self.max_keys = int(max_keys or self.MAX_KEYS)
+        # base: digest halves lexsorted by (hi, lo)
+        self._hi = np.empty(0, dtype=np.uint64)
+        self._lo = np.empty(0, dtype=np.uint64)
+        self._delta: set = set()                # recent (hi, lo) pairs
+
+    def __len__(self) -> int:
+        return len(self._hi) + len(self._delta)
+
+    def seen(self, key: str) -> bool:
+        """Exact membership + insert.  True -> already folded, drop."""
+        digest = hashlib.md5(key.encode()).digest()
+        pair = (int.from_bytes(digest[:8], "big"),
+                int.from_bytes(digest[8:], "big"))
+        if pair in self._delta:
+            return True
+        hi, lo = np.uint64(pair[0]), np.uint64(pair[1])
+        left = int(np.searchsorted(self._hi, hi, "left"))
+        right = int(np.searchsorted(self._hi, hi, "right"))
+        if right > left and bool(np.any(self._lo[left:right] == lo)):
+            return True
+        if len(self) >= self.max_keys:
+            raise RuntimeError(
+                f"idempotency ledger reached max_keys={self.max_keys} "
+                "folded batches; snapshot the aggregate and restart the "
+                "shard pool (a fresh pool resets Ray lineage, so "
+                "pre-restart replays cannot land) — refusing rather than "
+                "evicting keys and risking a silent double-fold")
+        self._delta.add(pair)
+        if len(self._delta) > self._DELTA_MAX:
+            d = np.array(sorted(self._delta), dtype=np.uint64)
+            all_hi = np.concatenate([self._hi, d[:, 0]])
+            all_lo = np.concatenate([self._lo, d[:, 1]])
+            order = np.lexsort((all_lo, all_hi))
+            self._hi, self._lo = all_hi[order], all_lo[order]
+            self._delta = set()
+        return False
+
+
 def _source_as_string(tbl: pa.Table) -> pa.Table:
     src = tbl["source"]
     if isinstance(src, pa.ChunkedArray):
@@ -72,26 +137,15 @@ class SketchShard:
 
     _COLS = ["source", "bucket", "count", "sum", "sumsq", "min", "max"]
 
-    # retry-ledger bound: a Ray task retry lands promptly after the failed
-    # attempt, so only a recent window of keys is needed for idempotency —
-    # an unbounded set leaked ~37 B per ingested batch forever on a
-    # continuous stream (review r4).  1e6 keys ~ 37 MB per shard.
-    SEEN_MAX = 1_000_000
-
     def __init__(self):
         self.state: pa.Table | None = None
         self.pending: list[pa.Table] = []
         self.pending_rows = 0
-        self.seen: set = set()
-        self._seen_order: deque = deque()
+        self.ledger = ExactLedger()
 
     def ingest(self, key: str, blob: bytes) -> int:
-        if key in self.seen:
+        if self.ledger.seen(key):
             return 0
-        self.seen.add(key)
-        self._seen_order.append(key)
-        if len(self._seen_order) > self.SEEN_MAX:
-            self.seen.discard(self._seen_order.popleft())
         tbl = _source_as_string(pa.ipc.open_stream(blob).read_all())
         # fold lazily: append the blob's partials and compact only when the
         # pending backlog reaches the state size — amortized O(rows log rows)
