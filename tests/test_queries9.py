@@ -203,3 +203,35 @@ def test_hll_shard_ingest_idempotent(ray_session):
     snap2 = _unipc(ray.get(shard.snapshot.remote())).to_pandas()
     pd.testing.assert_frame_equal(snap1, snap2)
     assert snap1["rho"].tolist() == [3, 7, 2]
+
+
+def test_fourier_probe_matches_naive_dft(ray_session):
+    """The probe's exact-bin amplitudes equal an independent naive DFT of
+    the centered window (not np.fft), confirming the integer identity
+    |W*F(k)|^2 = (sum Z cos)^2 + (sum Z sin)^2 at k in {W/4, W/2}."""
+    import duckdb
+
+    from thunder_ray.pipelines.queries9 import (FOURIER_PROBE_W,
+                                                fourier_probe_amp2_tokens)
+
+    W = FOURIER_PROBE_W
+    got = _to_df(fourier_probe_amp2_tokens(SF)).sort_values(
+        "doc_id").reset_index(drop=True)
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{SF}/documents.parquet')"
+    ).df()
+    n = np.arange(W)
+    want = {}
+    for did, text in zip(docs["doc_id"], docs["text"]):
+        x = np.array([len(w) for w in text.split(" ")], dtype=np.int64)
+        if len(x) < W:
+            continue
+        z = W * x[:W] - x[:W].sum()
+        for k, name in ((W // 4, "amp2_q"), (W // 2, "amp2_h")):
+            re = int(np.round((z * np.cos(2 * np.pi * k * n / W)).sum()))
+            im = int(np.round((z * np.sin(2 * np.pi * k * n / W)).sum()))
+            want.setdefault(int(did), {})[name] = re * re + im * im
+    assert len(got) == len(want)
+    for _, row in got.iterrows():
+        assert want[int(row["doc_id"])]["amp2_q"] == int(row["amp2_q"])
+        assert want[int(row["doc_id"])]["amp2_h"] == int(row["amp2_h"])

@@ -284,6 +284,92 @@ def lttb_downsample_events(sf_dir: str, n_out: int = LTTB_POINTS,
 
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# Fourier probe: the DFT bins whose twiddle factors are exact
+
+FOURIER_PROBE_W = 64   # window: divisible by 4 so bins W/4 and W/2 are exact
+
+
+def _fourier_probe_batch(batch: pa.Table) -> pa.Table:
+    from ..stages import listkernels as lk
+
+    W = FOURIER_PROBE_W
+    toks = batch["tokens"]
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    vals, offs = lk.list_parts(toks)
+    lens = np.diff(offs)
+    keep = np.flatnonzero(lens >= W)
+    doc = _col(batch, "doc_id_int").astype(np.int64)[keep]
+    if len(keep) == 0:
+        return pa.table({"doc_id": _i64([]), "amp2_q": _i64([]),
+                         "amp2_h": _i64([])})
+    idx = offs[keep][:, None] + np.arange(W)
+    Y = np.asarray(vals)[idx].astype(np.int64)
+    S = Y.sum(axis=1)
+    Z = (W * Y - S[:, None]).astype(np.float64)   # W*(x - mean): exact ints
+    ft = np.fft.fft(Z, axis=1)                    # the production kernel
+    re_q = np.rint(ft[:, W // 4].real)
+    im_q = np.rint(ft[:, W // 4].imag)
+    re_h = np.rint(ft[:, W // 2].real)
+    if max(np.abs(re_q).max(initial=0), np.abs(im_q).max(initial=0),
+           np.abs(re_h).max(initial=0)) > 3e9:
+        raise ValueError("fourier_probe: scaled DFT coefficient exceeds "
+                         "3e9 — amp^2 would overflow int64")
+    re_q, im_q, re_h = (v.astype(np.int64) for v in (re_q, im_q, re_h))
+    return pa.table({"doc_id": _i64(doc),
+                     "amp2_q": _i64(re_q * re_q + im_q * im_q),
+                     "amp2_h": _i64(re_h * re_h)})
+
+
+def fourier_probe_amp2_tokens(sf_dir: str):
+    """|F(k)|^2 of the mean-centered first-``FOURIER_PROBE_W``-token window
+    at the two DFT bins whose twiddle factors are EXACT (k = W/4 and W/2:
+    cos/sin over {0, +-1}).  Scaled by W^2 these are integer polynomials of
+    the tokens — Re/Im land on exact integers, np.rint recovers them with
+    ~1e-8 absolute FFT error, and the squares hash-match a pure-integer
+    SQL twin.  This pins the production centering + np.fft kernel
+    (stages/signal.fourier_2d's path) bit-exactly at two bins — the full
+    spectrum stays rows-only because every other bin's twiddle factors are
+    irrational (VERDICT r4 next #8).  Zero-shuffle: one vectorized kernel
+    per batch; docs shorter than the window are excluded (same filter in
+    the twin)."""
+    from ..sources.tokens import tokens_from_documents
+
+    ds = tokens_from_documents(sf_dir)
+    return ds.map_batches(_fourier_probe_batch, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+FOURIER_PROBE_SQL = f"""
+WITH tok AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         list_transform(string_split(text, ' '), w -> length(w)) AS tokens
+  FROM documents
+),
+f AS (SELECT doc_id, tokens[1:{FOURIER_PROBE_W}] AS w FROM tok
+      WHERE len(tokens) >= {FOURIER_PROBE_W}),
+flat AS (
+  SELECT doc_id, CAST(unnest(w) AS BIGINT) AS x,
+         CAST(unnest(range({FOURIER_PROBE_W})) AS BIGINT) AS n
+  FROM f
+),
+s AS (SELECT doc_id, SUM(x) AS stot FROM flat GROUP BY 1),
+c AS (SELECT flat.doc_id AS doc_id,
+        SUM(({FOURIER_PROBE_W} * x - stot) *
+            (CASE CAST(n % 4 AS INTEGER) WHEN 0 THEN 1 WHEN 2 THEN -1
+             ELSE 0 END)) AS re_q,
+        SUM(({FOURIER_PROBE_W} * x - stot) *
+            (CASE CAST(n % 4 AS INTEGER) WHEN 1 THEN -1 WHEN 3 THEN 1
+             ELSE 0 END)) AS im_q,
+        SUM(({FOURIER_PROBE_W} * x - stot) *
+            (CASE CAST(n % 2 AS INTEGER) WHEN 0 THEN 1 ELSE -1 END)) AS re_h
+      FROM flat JOIN s USING (doc_id) GROUP BY 1)
+SELECT doc_id, re_q * re_q + im_q * im_q AS amp2_q, re_h * re_h AS amp2_h
+FROM c
+"""
+
+
 def build_queries9() -> dict:
     from ..state.hll import sketch_distinct_users_1h
 
@@ -294,6 +380,7 @@ def build_queries9() -> dict:
         # streaming continuous-aggregate twin of hll_distinct_users_1h
         # (rows-only; pytest pins snapshot == batch pipeline bit-for-bit)
         "sketch_distinct_users_1h": sketch_distinct_users_1h,
+        "fourier_probe_amp2_tokens": fourier_probe_amp2_tokens,
     }
 
 
@@ -301,6 +388,7 @@ def build_oracle_sql9() -> dict:
     return {
         "repetition_signals_documents": REPETITION_SQL,
         "robust_outliers_events": ROBUST_OUTLIERS_SQL,
+        "fourier_probe_amp2_tokens": FOURIER_PROBE_SQL,
         # lttb_downsample_events: rows-only (greedy pick is not SQL);
         # pytest pins it to an independent naive implementation
     }
