@@ -356,14 +356,15 @@ flat AS (
 ),
 s AS (SELECT doc_id, SUM(x) AS stot FROM flat GROUP BY 1),
 c AS (SELECT flat.doc_id AS doc_id,
-        SUM(({FOURIER_PROBE_W} * x - stot) *
+        CAST(SUM(({FOURIER_PROBE_W} * x - stot) *
             (CASE CAST(n % 4 AS INTEGER) WHEN 0 THEN 1 WHEN 2 THEN -1
-             ELSE 0 END)) AS re_q,
-        SUM(({FOURIER_PROBE_W} * x - stot) *
+             ELSE 0 END)) AS BIGINT) AS re_q,
+        CAST(SUM(({FOURIER_PROBE_W} * x - stot) *
             (CASE CAST(n % 4 AS INTEGER) WHEN 1 THEN -1 WHEN 3 THEN 1
-             ELSE 0 END)) AS im_q,
-        SUM(({FOURIER_PROBE_W} * x - stot) *
-            (CASE CAST(n % 2 AS INTEGER) WHEN 0 THEN 1 ELSE -1 END)) AS re_h
+             ELSE 0 END)) AS BIGINT) AS im_q,
+        CAST(SUM(({FOURIER_PROBE_W} * x - stot) *
+            (CASE CAST(n % 2 AS INTEGER) WHEN 0 THEN 1 ELSE -1
+             END)) AS BIGINT) AS re_h
       FROM flat JOIN s USING (doc_id) GROUP BY 1)
 SELECT doc_id, re_q * re_q + im_q * im_q AS amp2_q, re_h * re_h AS amp2_h
 FROM c
