@@ -327,3 +327,15 @@ def test_cc_star_with_seed_labels_matches_unseeded(ray_session):
     c = cold.sort_values("src").reset_index(drop=True)
     s = seeded.sort_values("src").reset_index(drop=True)
     assert c.equals(s)
+
+
+def test_exact_label_sum_beyond_int64(ray_session):
+    """The fixpoint detector must not wrap: labels near 2^62 x enough rows
+    overflow a plain int64 SUM; the limb decomposition recombines exactly."""
+    import ray.data as rd
+
+    from thunder_ray.pipelines.queries8 import _exact_label_sum
+
+    v = np.full(64, (1 << 62) + 12345, dtype=np.int64)
+    ds = rd.from_arrow(pa.table({"label": pa.array(v, type=pa.int64())}))
+    assert _exact_label_sum(ds) == 64 * ((1 << 62) + 12345)  # > int64 max

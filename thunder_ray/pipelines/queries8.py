@@ -20,9 +20,10 @@ Scale notes (what the 100 TB design is graded on):
   large-star/small-star algorithm (Kiveris et al., SoCC 2014) — the same
   join + keyed-MIN primitives, O(log^2 n) rounds regardless of diameter,
   so chain-shaped boilerplate components finish instead of raising.
-  Convergence is detected by COUNTING changed labels per round (a 0/1
-  flag sum bounded by node count — an int64 label-SUM could wrap and
-  terminate early silently, ADVICE r4).
+  Convergence is detected by an EXACT (limb-decomposed, Python-int
+  recombined) label sum per round: labels are monotone non-increasing,
+  so an unchanged exact sum IS the fixpoint — a plain int64 label-SUM
+  could wrap and terminate early silently (ADVICE r4).
 - ``dedup_apply``: the drop set (non-canonical cluster members) is
   dup-pair scale; below DROP_BROADCAST_MAX it ships once via ``ray.put``
   and each batch filters with a vectorized sorted-array membership test
@@ -85,24 +86,38 @@ def _col(batch: pa.Table, name: str) -> np.ndarray:
 # ---------------------------------------------------------------------------
 # Duplicate clusters: connected components over the near-dup pair graph
 
-def _n_changed(prev, new, par: int) -> int:
-    """Count of nodes whose label differs between two materialized label
-    tables — the per-round fixpoint detector.  A 0/1 changed-flag sum is
-    bounded by the node count, unlike the previous int64 label-SUM
-    comparison, which could wrap on large doc_ids x many nodes and then
-    (astronomically unlikely but silently) terminate propagation early
-    with wrong clusters (ADVICE r4)."""
-    old = prev.map_batches(lambda b: b.rename_columns(["src", "old"]),
-                           batch_format="pyarrow", zero_copy_batch=True)
-    j = new.join(old, "inner", par, on=("src",))
+_LIMB = 21  # label limb width: per-batch limb sums stay far inside int64
 
-    def flag(batch: pa.Table) -> pa.Table:
-        c = _col(batch, "label").astype(np.int64) != _col(
-            batch, "old").astype(np.int64)
-        return pa.table({"c": _i64(c.astype(np.int64))})
 
-    return int(j.map_batches(flag, batch_format="pyarrow",
-                             zero_copy_batch=True).sum("c") or 0)
+def _exact_label_sum(labels) -> int:
+    """EXACT (arbitrary-precision) sum of the label column — the per-round
+    fixpoint detector.  Labels are monotone non-increasing under min-label
+    propagation (each node's own current label rides along via its
+    self-loop), so the sum strictly decreases iff any label changed and an
+    UNCHANGED exact sum IS the fixpoint.  The r4 version compared plain
+    int64 SUMs, which could wrap on large doc_ids x many nodes and then
+    (astronomically unlikely but silently) terminate early with wrong
+    clusters (ADVICE r4).  Here each batch splits labels into three 21-bit
+    limbs and emits int64 partial sums per limb (<= 2^21 x batch rows,
+    no wrap); the driver recombines in Python ints.  One streaming pass,
+    no join — a per-round changed-count join doubled the round cost."""
+    from ray.data.aggregate import Sum
+
+    def limbs(batch: pa.Table) -> pa.Table:
+        v = _col(batch, "label").astype(np.int64)
+        if len(v) and int(v.min()) < 0:
+            raise ValueError("_exact_label_sum: negative label")
+        m = (1 << _LIMB) - 1
+        return pa.table({"lo": _i64((v & m).sum(keepdims=True)),
+                         "mid": _i64(((v >> _LIMB) & m).sum(keepdims=True)),
+                         "hi": _i64((v >> (2 * _LIMB)).sum(keepdims=True))})
+
+    agg = labels.map_batches(limbs, batch_format="pyarrow",
+                             zero_copy_batch=True).aggregate(
+        Sum("lo", alias_name="lo"), Sum("mid", alias_name="mid"),
+        Sum("hi", alias_name="hi"))
+    return (int(agg["lo"] or 0) + (int(agg["mid"] or 0) << _LIMB)
+            + (int(agg["hi"] or 0) << (2 * _LIMB)))
 
 
 def _cc_min_label(edges, n_edges: int):
@@ -122,6 +137,7 @@ def _cc_min_label(edges, n_edges: int):
     # node's own id, so round 0's groupby doubles as initialization
     labels = edges.groupby("src").aggregate(
         Min("dst", alias_name="label")).materialize()
+    prev = _exact_label_sum(labels)
     for _ in range(MAX_CC_ROUNDS):
         msgs = edges.join(labels, "inner", par, on=("src",))
 
@@ -129,13 +145,13 @@ def _cc_min_label(edges, n_edges: int):
             return pa.table({"src": _i64(_col(batch, "dst")),
                              "label": _i64(_col(batch, "label"))})
 
-        new = msgs.map_batches(
+        labels = msgs.map_batches(
             to_dst, batch_format="pyarrow", zero_copy_batch=True).groupby(
             "src").aggregate(Min("label", alias_name="label")).materialize()
-        changed = _n_changed(labels, new, par)
-        labels = new
-        if changed == 0:
+        s = _exact_label_sum(labels)
+        if s == prev:      # exact + monotone -> unchanged sum IS fixpoint
             return labels
+        prev = s
     # pathological diameter (e.g. a chain-shaped boilerplate component):
     # hand the graph to the star algorithm, seeding it with the partial
     # labels as shortcut edges — label(v) is reachable from v, so adding
