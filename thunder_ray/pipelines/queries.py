@@ -821,6 +821,7 @@ def build_queries() -> dict:
     from .queries7 import build_queries7
     from .queries8 import build_queries8
     from .queries9 import build_queries9
+    from .queries10 import build_queries10
     from .textops import build_textops_queries
 
     return {
@@ -833,6 +834,7 @@ def build_queries() -> dict:
         **build_queries7(),
         **build_queries8(),
         **build_queries9(),
+        **build_queries10(),
         **build_textops_queries(),
         **build_dedup_queries(),
         **build_ann_queries(),
@@ -872,6 +874,7 @@ def build_oracle_sql() -> dict:
     from .queries7 import build_oracle_sql7
     from .queries8 import build_oracle_sql8
     from .queries9 import build_oracle_sql9
+    from .queries10 import build_oracle_sql10
     from .textops import build_textops_sql
 
     return {
@@ -884,6 +887,7 @@ def build_oracle_sql() -> dict:
         **build_oracle_sql7(),
         **build_oracle_sql8(),
         **build_oracle_sql9(),
+        **build_oracle_sql10(),
         **build_textops_sql(),
         **build_dedup_sql(),
         **build_ann_sql(),
