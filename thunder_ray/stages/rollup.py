@@ -38,6 +38,38 @@ from . import listkernels as lk
 # Partial/tier column order (TIER_SCHEMA + derived).
 PARTIAL_COLS = ["source", "bucket", "count", "sum", "sumsq", "min", "max"]
 
+# ~128k tokens per sumsq chunk: the squared int64 temp stays ~1 MiB
+# (cache-resident) instead of a full-batch copy.
+_SUMSQ_CHUNK_TOKENS = 1 << 17
+
+
+def _seg_sumsq_chunked(base: np.ndarray, run_starts: np.ndarray,
+                       end: int) -> np.ndarray:
+    """Sum of v^2 per run WITHOUT materializing a full-batch int64 squared
+    copy: runs are processed in ~_SUMSQ_CHUNK_TOKENS slices so the squared
+    temp is reused and stays cache-resident.  The full-size ``np.square``
+    temp was ~16 B/token of pure DRAM write+read traffic — the largest
+    single contributor to the combine stage's memory footprint, and the
+    first thing to stall all 32 workers when the shared bus is contended.
+    Bit-identical to the one-shot version (integer adds reassociated only
+    across chunk boundaries, which is exact)."""
+    n = len(run_starts)
+    out = np.empty(n, dtype=np.int64)
+    bounds = np.append(run_starts, end)
+    i = 0
+    while i < n:
+        # at least one run per chunk; a single over-budget run just gets a
+        # proportionally larger temp
+        j = int(np.searchsorted(bounds, bounds[i] + _SUMSQ_CHUNK_TOKENS,
+                                side="left"))
+        j = min(max(j, i + 1), n)
+        lo = bounds[i]
+        seg = base[lo:bounds[j]]
+        out[i:j] = np.add.reduceat(np.square(seg, dtype=np.int64),
+                                   bounds[i:j] - lo)
+        i = j
+    return out
+
 
 def _factorize_source(col) -> tuple[pa.Array, np.ndarray]:
     """(dictionary: pa.Array of unique sources, codes: int64 ndarray) via
@@ -139,7 +171,7 @@ class BucketizePartials:
         cnt = np.diff(np.append(run_starts, rel[-1]))
         e = np.empty(0, dtype=np.int64)
         s = np.add.reduceat(base, run_starts, dtype=np.int64) if n_runs else e
-        q = np.add.reduceat(np.square(base, dtype=np.int64), run_starts) if n_runs else e
+        q = _seg_sumsq_chunked(base, run_starts, int(rel[-1])) if n_runs else e
         mn = np.minimum.reduceat(base, run_starts) if n_runs else base[:0]
         mx = np.maximum.reduceat(base, run_starts) if n_runs else base[:0]
 
