@@ -822,6 +822,7 @@ def build_queries() -> dict:
     from .queries8 import build_queries8
     from .queries9 import build_queries9
     from .queries10 import build_queries10
+    from .queries11 import build_queries11
     from .textops import build_textops_queries
 
     return {
@@ -835,6 +836,7 @@ def build_queries() -> dict:
         **build_queries8(),
         **build_queries9(),
         **build_queries10(),
+        **build_queries11(),
         **build_textops_queries(),
         **build_dedup_queries(),
         **build_ann_queries(),
@@ -875,6 +877,7 @@ def build_oracle_sql() -> dict:
     from .queries8 import build_oracle_sql8
     from .queries9 import build_oracle_sql9
     from .queries10 import build_oracle_sql10
+    from .queries11 import build_oracle_sql11
     from .textops import build_textops_sql
 
     return {
@@ -888,6 +891,7 @@ def build_oracle_sql() -> dict:
         **build_oracle_sql8(),
         **build_oracle_sql9(),
         **build_oracle_sql10(),
+        **build_oracle_sql11(),
         **build_textops_sql(),
         **build_dedup_sql(),
         **build_ann_sql(),
