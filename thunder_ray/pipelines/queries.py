@@ -823,6 +823,7 @@ def build_queries() -> dict:
     from .queries9 import build_queries9
     from .queries10 import build_queries10
     from .queries11 import build_queries11
+    from .queries12 import build_queries12
     from .textops import build_textops_queries
 
     return {
@@ -837,6 +838,7 @@ def build_queries() -> dict:
         **build_queries9(),
         **build_queries10(),
         **build_queries11(),
+        **build_queries12(),
         **build_textops_queries(),
         **build_dedup_queries(),
         **build_ann_queries(),
@@ -878,6 +880,7 @@ def build_oracle_sql() -> dict:
     from .queries9 import build_oracle_sql9
     from .queries10 import build_oracle_sql10
     from .queries11 import build_oracle_sql11
+    from .queries12 import build_oracle_sql12
     from .textops import build_textops_sql
 
     return {
@@ -892,6 +895,7 @@ def build_oracle_sql() -> dict:
         **build_oracle_sql9(),
         **build_oracle_sql10(),
         **build_oracle_sql11(),
+        **build_oracle_sql12(),
         **build_textops_sql(),
         **build_dedup_sql(),
         **build_ann_sql(),
