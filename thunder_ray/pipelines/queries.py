@@ -824,6 +824,7 @@ def build_queries() -> dict:
     from .queries10 import build_queries10
     from .queries11 import build_queries11
     from .queries12 import build_queries12
+    from .queries13 import build_queries13
     from .textops import build_textops_queries
 
     return {
@@ -839,6 +840,7 @@ def build_queries() -> dict:
         **build_queries10(),
         **build_queries11(),
         **build_queries12(),
+        **build_queries13(),
         **build_textops_queries(),
         **build_dedup_queries(),
         **build_ann_queries(),
@@ -881,6 +883,7 @@ def build_oracle_sql() -> dict:
     from .queries10 import build_oracle_sql10
     from .queries11 import build_oracle_sql11
     from .queries12 import build_oracle_sql12
+    from .queries13 import build_oracle_sql13
     from .textops import build_textops_sql
 
     return {
@@ -896,6 +899,7 @@ def build_oracle_sql() -> dict:
         **build_oracle_sql10(),
         **build_oracle_sql11(),
         **build_oracle_sql12(),
+        **build_oracle_sql13(),
         **build_textops_sql(),
         **build_dedup_sql(),
         **build_ann_sql(),
