@@ -825,6 +825,7 @@ def build_queries() -> dict:
     from .queries11 import build_queries11
     from .queries12 import build_queries12
     from .queries13 import build_queries13
+    from .queries14 import build_queries14
     from .textops import build_textops_queries
 
     return {
@@ -841,6 +842,7 @@ def build_queries() -> dict:
         **build_queries11(),
         **build_queries12(),
         **build_queries13(),
+        **build_queries14(),
         **build_textops_queries(),
         **build_dedup_queries(),
         **build_ann_queries(),
@@ -884,6 +886,7 @@ def build_oracle_sql() -> dict:
     from .queries11 import build_oracle_sql11
     from .queries12 import build_oracle_sql12
     from .queries13 import build_oracle_sql13
+    from .queries14 import build_oracle_sql14
     from .textops import build_textops_sql
 
     return {
@@ -900,6 +903,7 @@ def build_oracle_sql() -> dict:
         **build_oracle_sql11(),
         **build_oracle_sql12(),
         **build_oracle_sql13(),
+        **build_oracle_sql14(),
         **build_textops_sql(),
         **build_dedup_sql(),
         **build_ann_sql(),
