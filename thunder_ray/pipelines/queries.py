@@ -826,6 +826,7 @@ def build_queries() -> dict:
     from .queries12 import build_queries12
     from .queries13 import build_queries13
     from .queries14 import build_queries14
+    from .queries15 import build_queries15
     from .textops import build_textops_queries
 
     return {
@@ -843,6 +844,7 @@ def build_queries() -> dict:
         **build_queries12(),
         **build_queries13(),
         **build_queries14(),
+        **build_queries15(),
         **build_textops_queries(),
         **build_dedup_queries(),
         **build_ann_queries(),
@@ -887,6 +889,7 @@ def build_oracle_sql() -> dict:
     from .queries12 import build_oracle_sql12
     from .queries13 import build_oracle_sql13
     from .queries14 import build_oracle_sql14
+    from .queries15 import build_oracle_sql15
     from .textops import build_textops_sql
 
     return {
@@ -904,6 +907,7 @@ def build_oracle_sql() -> dict:
         **build_oracle_sql12(),
         **build_oracle_sql13(),
         **build_oracle_sql14(),
+        **build_oracle_sql15(),
         **build_textops_sql(),
         **build_dedup_sql(),
         **build_ann_sql(),
