@@ -200,15 +200,18 @@ def range_mean_1m(sf_dir: str, shard: int = RANGE_DAY_SHARD):
         day_tail, batch_format="pandas")
 
     def carries(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["day", "bucket"])
+        # O(D*w): each day's carry is the positional tail right before its
+        # first row in the day-sorted frame — no per-day rescan of g
+        # (review r5: the boolean-filter version was O(D^2) per source)
+        g = g.sort_values(["day", "bucket"]).reset_index(drop=True)
+        days = g["day"].to_numpy(np.int64)
+        day_starts = np.flatnonzero(np.r_[True, days[1:] != days[:-1]])
         out = []
-        for d in np.unique(g["day"].to_numpy(np.int64))[1:]:
-            prev = g[g["day"] < d].tail(w - 1)
-            if len(prev):
-                p = prev.copy()
-                p["day"] = d
-                p["carry"] = 1
-                out.append(p)
+        for s in day_starts[1:]:
+            p = g.iloc[max(0, s - (w - 1)):s].copy()
+            p["day"] = days[s]
+            p["carry"] = 1
+            out.append(p)
         return pd.concat(out, ignore_index=True) if out else g.head(0)
 
     carry = tails.groupby("source").map_groups(

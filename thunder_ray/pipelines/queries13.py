@@ -32,7 +32,10 @@ import pyarrow as pa
 
 from ..util import derive_parallelism
 
-FANO_C_MAX = 1 << 31   # per-bucket count guard: keeps c*c inside int64
+# per-bucket count guard: scc sums up to 60 squared counts per (source,
+# hour), so the bound must keep 60 * c^2 inside int64 — 60 * (2^28)^2 <
+# 2^62 (a bare 2^31 would let a single hour's scc wrap silently)
+FANO_C_MAX = 1 << 28
 HOUR_BITS = 20         # epoch hours fit 20 bits until 2089
 USER_MAX = 1 << 43     # packed (user << HOUR_BITS | hour) must fit int64
 
@@ -70,8 +73,9 @@ def fano_factor_1h(sf_dir: str):
                              "hour": _i64([]), "n": _i64([]),
                              "sc": _i64([]), "scc": _i64([])})
         if int(c.max()) >= FANO_C_MAX or int(b.min()) < 0:
-            raise ValueError("fano: per-bucket count >= 2^31 or negative "
-                             "bucket — rescale the tier first")
+            raise ValueError("fano: per-bucket count >= 2^28 (hour scc "
+                             "would overflow int64) or negative bucket — "
+                             "rescale the tier first")
         hour = b // 60
         u_src, code = np.unique(src, return_inverse=True)
         if int(hour.max()) >= 1 << 30:

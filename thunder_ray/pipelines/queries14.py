@@ -117,12 +117,23 @@ def props_k_stats_by_type(sf_dir: str):
         props = batch["props"]
         if isinstance(props, pa.ChunkedArray):
             props = props.combine_chunks()
-        ext = pc.extract_regex(props, r'"k":\s*(?P<k>-?\d+)')
+        # the regex is correct only for FLAT payloads with an integer k;
+        # refuse loudly (never silently diverge from json_extract) when a
+        # payload is nested, or carries a float / string-encoded k
+        bad = pc.match_substring_regex(
+            props, r'\{.*\{|"k":\s*-?\d+\.|"k":\s*"')
+        if pc.any(bad).as_py():
+            raise ValueError(
+                "props beyond the flat integer-k contract (nested object, "
+                "float k, or string k) — extend the extractor to a real "
+                "JSON parse before trusting these stats")
+        ext = pc.extract_regex(props, r'"k":\s*(?P<k>-?\d+)\s*[,}]')
         valid = pc.is_valid(ext).to_numpy(zero_copy_only=False)
         if not valid.any():
             return pa.table({"event_type": pa.array([], type=pa.string()),
                              "n": _i64([]), "sk": _i64([]),
-                             "mn": _i64([]), "mx": _i64([])})
+                             "mn": _i64([]), "mx": _i64([]),
+                             "ak": _i64([])})
         kk = pc.struct_field(ext, "k").cast(pa.int64())
         k_np = kk.to_numpy(zero_copy_only=False)
         et = _col(batch, "event_type")[valid]
@@ -142,19 +153,29 @@ def props_k_stats_by_type(sf_dir: str):
             "sk": _i64(np.add.reduceat(v, starts)),
             "mn": _i64(mins),
             "mx": _i64(maxs),
+            "ak": _i64(np.maximum.reduceat(np.abs(v), starts)),
         })
 
     agg = ev.map_batches(partial, batch_format="pyarrow",
                          zero_copy_batch=True).groupby(
         "event_type").aggregate(
         Sum("n", alias_name="n"), Sum("sk", alias_name="sk"),
-        Min("mn", alias_name="mn"), Max("mx", alias_name="mx"))
+        Min("mn", alias_name="mn"), Max("mx", alias_name="mx"),
+        Max("ak", alias_name="ak"))
 
     def finalize(batch: pa.Table) -> pa.Table:
-        n = _col(batch, "n").astype(np.float64)
+        ni = _col(batch, "n").astype(np.int64)
+        ak = _col(batch, "ak").astype(np.int64)
+        # post-aggregation guard (the corr_matrix pattern): the per-value
+        # 2^40 bound alone lets a 4M-event type wrap sk silently
+        if any(int(a) * int(c) >= 1 << 62 for a, c in zip(ak, ni)):
+            raise ValueError("props: per-type k sum may overflow int64 — "
+                             "rescale k before the stats pass")
+        n = ni.astype(np.float64)
         sk = _col(batch, "sk").astype(np.float64)
         # fixed float expression, mirrored EXACTLY in the SQL twin
-        return batch.append_column(
+        out = batch.drop_columns(["ak"])
+        return out.append_column(
             "mean_k", pa.array(sk / n, type=pa.float64()))
 
     return agg.map_batches(finalize, batch_format="pyarrow",

@@ -65,18 +65,19 @@ def rolling_mean_1m(sf_dir: str, shard: int = DAY_SHARD):
 
     def carries(g: pd.DataFrame) -> pd.DataFrame:
         # g: one source's day tails; emit, for every day with rows, the
-        # last W-1 rows that precede it (across any number of prior days)
-        g = g.sort_values(["day", "bucket"])
+        # last W-1 rows that precede it (across any number of prior days).
+        # O(D*W): each day's carry is the positional tail right before its
+        # first row in the day-sorted frame — no per-day rescan of g
+        # (review r5: the boolean-filter version was O(D^2) per source)
+        g = g.sort_values(["day", "bucket"]).reset_index(drop=True)
         days = g["day"].to_numpy(np.int64)
-        uniq_days = np.unique(days)
+        day_starts = np.flatnonzero(np.r_[True, days[1:] != days[:-1]])
         out = []
-        for d in uniq_days[1:]:
-            prev = g[g["day"] < d].tail(ROLL_WINDOW - 1)
-            if len(prev):
-                p = prev.copy()
-                p["day"] = d
-                p["carry"] = 1
-                out.append(p)
+        for s in day_starts[1:]:
+            p = g.iloc[max(0, s - (ROLL_WINDOW - 1)):s].copy()
+            p["day"] = days[s]
+            p["carry"] = 1
+            out.append(p)
         if not out:
             return g.head(0)
         return pd.concat(out, ignore_index=True)
