@@ -827,6 +827,7 @@ def build_queries() -> dict:
     from .queries13 import build_queries13
     from .queries14 import build_queries14
     from .queries15 import build_queries15
+    from .queries16 import build_queries16
     from .textops import build_textops_queries
 
     return {
@@ -845,6 +846,7 @@ def build_queries() -> dict:
         **build_queries13(),
         **build_queries14(),
         **build_queries15(),
+        **build_queries16(),
         **build_textops_queries(),
         **build_dedup_queries(),
         **build_ann_queries(),
@@ -890,6 +892,7 @@ def build_oracle_sql() -> dict:
     from .queries13 import build_oracle_sql13
     from .queries14 import build_oracle_sql14
     from .queries15 import build_oracle_sql15
+    from .queries16 import build_oracle_sql16
     from .textops import build_textops_sql
 
     return {
@@ -908,6 +911,7 @@ def build_oracle_sql() -> dict:
         **build_oracle_sql13(),
         **build_oracle_sql14(),
         **build_oracle_sql15(),
+        **build_oracle_sql16(),
         **build_textops_sql(),
         **build_dedup_sql(),
         **build_ann_sql(),

@@ -12,13 +12,12 @@ Scale notes (what the 100 TB design is graded on):
   int64 partial sufficient statistics (n, sc, scc) per (source, hour) over
   the CACHED 1m tier -> one keyed groupby sum -> stateless vectorized
   finalize.  Rolled-point input; the raw stream is never touched.
-- ``new_users_1h`` / ``returning_users_1h``: the distinct_users_1h plan —
-  per-batch (user, hour) pair-dedup combiners, ONE user-keyed shuffle at
-  distinct-pair scale (never one row per raw event), then a per-user MIN
-  for the first-seen hour.  The returning count joins the distinct pairs
-  to the first-seen table with a user-keyed hash join at pair scale; both
-  outputs finish through per-batch bucket-count partials + a tiny keyed
-  sum (<= #hours rows).
+- ``new_users_1h`` / ``returning_users_1h``: ONE user-hash shard shuffle
+  at batch-deduped pair scale (never one row per raw event); the
+  per-shard kernel finishes the distinct with a packed-key np.unique,
+  marks each user's first hour via the sorted key order, and emits
+  bucket-count partials (<= #hours rows per shard) into a tiny keyed
+  sum.  A user never spans shards, so first-seen is exact.
 
 Exactness: counts and packed keys are int64 with loud range guards; the
 Fano factor is ONE fixed float expression over exact-int-derived doubles
@@ -28,9 +27,9 @@ mirrored verbatim in the SQL twin; cohort outputs are pure integers.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
-from ..util import derive_parallelism
 
 # per-bucket count guard: scc sums up to 60 squared counts per (source,
 # hour), so the bound must keep 60 * c^2 inside int64 — 60 * (2^28)^2 <
@@ -38,6 +37,7 @@ from ..util import derive_parallelism
 FANO_C_MAX = 1 << 28
 HOUR_BITS = 20         # epoch hours fit 20 bits until 2089
 USER_MAX = 1 << 43     # packed (user << HOUR_BITS | hour) must fit int64
+SHARD_BITS = 6         # 64 balanced user-hash shards for the return kernel
 
 
 def _i64(arr) -> pa.Array:
@@ -140,12 +140,14 @@ FROM q WHERE n >= 2
 # ---------------------------------------------------------------------------
 # Cohort entry / return counts over events (first-seen semantics)
 
-def _distinct_user_hours(sf_dir: str):
-    """Distinct (user_id, hour) pairs: per-batch packed-key dedup combiner,
-    then one keyed groupby finishing the distinct — the shuffle moves at
-    most one row per distinct pair per batch (distinct_users_1h's plan)."""
+def _sharded_user_hours(sf_dir: str):
+    """Batch-deduped (user_id, hour, shard) rows, hash-sharded BY USER into
+    2^SHARD_BITS balanced partitions (a user never spans shards).  The
+    global distinct is NOT finished here — the per-shard cohort kernels
+    finish it with one packed-key np.unique, which saves a whole
+    all-to-all versus a (user, hour) groupby (r5 review: the two
+    extra exchanges, not the kernel, dominated the 12 s version)."""
     import ray.data as rd
-    from ray.data.aggregate import Sum
 
     ev = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["ts", "user_id"])
@@ -159,63 +161,54 @@ def _distinct_user_hours(sf_dir: str):
             raise ValueError("cohorts: user_id/hour outside the packed "
                              "int64 range — widen the pack")
         key = np.unique((u << HOUR_BITS) | h)
+        uu = key >> HOUR_BITS
+        s = ((uu.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+             >> np.uint64(64 - SHARD_BITS)).astype(np.int64)
         return pa.table({
-            "user_id": _i64(key >> HOUR_BITS),
+            "user_id": _i64(uu),
             "h": _i64(key & ((1 << HOUR_BITS) - 1)),
-            "one": _i64(np.ones(len(key), dtype=np.int64)),
+            "shard": _i64(s),
         })
 
-    pairs = ev.map_batches(partial, batch_format="pyarrow",
-                           zero_copy_batch=True)
-    return pairs.groupby(["user_id", "h"]).aggregate(
-        Sum("one", alias_name="one")).drop_columns(["one"])
+    return ev.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
 
 
-def _first_seen(pairs):
-    from ray.data.aggregate import Min
-
-    return pairs.groupby("user_id").aggregate(Min("h", alias_name="fh"))
-
-
-def _bucket_counts(ds, col: str, out: str):
-    """Per-batch bucket-count partials + one tiny keyed sum."""
+def _cohort_counts(sf_dir: str, first_rows: bool, out: str):
+    """Shared cohort plan: ONE shard shuffle, then a vectorized per-shard
+    kernel — packed-key np.unique finishes the distinct, a lexsort marks
+    each user's first hour, and the kernel keeps either the first rows
+    (cohort entry) or the rest (returns) as per-shard bucket-count
+    partials (<= #hours rows each) into a tiny keyed sum."""
     from ray.data.aggregate import Sum
 
-    def partial(batch: pa.Table) -> pa.Table:
-        h, cnt = np.unique(_col(batch, col).astype(np.int64),
-                           return_counts=True)
-        return pa.table({"bucket": _i64(h), out: _i64(cnt)})
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        key = np.unique(
+            (g["user_id"].to_numpy(np.int64) << HOUR_BITS)
+            | g["h"].to_numpy(np.int64))       # sorted => (user, hour) order
+        u, h = key >> HOUR_BITS, key & ((1 << HOUR_BITS) - 1)
+        first = np.r_[True, u[1:] != u[:-1]]
+        keep = first if first_rows else ~first
+        hh, cnt = np.unique(h[keep], return_counts=True)
+        return pd.DataFrame({"bucket": hh.astype(np.int64),
+                             out: cnt.astype(np.int64)})
 
-    return ds.map_batches(partial, batch_format="pyarrow",
-                          zero_copy_batch=True).groupby("bucket").aggregate(
-        Sum(out, alias_name=out))
+    cand = _sharded_user_hours(sf_dir).groupby("shard").map_groups(
+        per_shard, batch_format="pandas")
+    return cand.groupby("bucket").aggregate(Sum(out, alias_name=out))
 
 
 def new_users_1h(sf_dir: str):
     """Per 1h bucket: users whose FIRST event falls in it (cohort entry)."""
-    return _bucket_counts(_first_seen(_distinct_user_hours(sf_dir)),
-                          "fh", "new_users")
+    return _cohort_counts(sf_dir, first_rows=True, out="new_users")
 
 
 def returning_users_1h(sf_dir: str):
     """Per 1h bucket: distinct active users whose first event was in an
-    EARLIER bucket (the retention curve's numerator).  Distinct pairs join
-    the first-seen table user-keyed at pair scale; active-hour buckets
-    where every user is new produce no row (COUNT over an empty group),
-    exactly like the twin's WHERE."""
-    pairs = _distinct_user_hours(sf_dir).materialize()
-    first = _first_seen(pairs)
-    joined = pairs.join(first, "inner", derive_parallelism(),
-                        on=("user_id",))
-
-    def keep(batch: pa.Table) -> pa.Table:
-        m = _col(batch, "h").astype(np.int64) > \
-            _col(batch, "fh").astype(np.int64)
-        return batch.filter(pa.array(m))
-
-    ret = joined.map_batches(keep, batch_format="pyarrow",
-                             zero_copy_batch=True)
-    return _bucket_counts(ret, "h", "returning_users")
+    EARLIER bucket (the retention curve's numerator).  Active-hour buckets
+    where every user is new produce no row, exactly like the twin's
+    WHERE."""
+    return _cohort_counts(sf_dir, first_rows=False, out="returning_users")
 
 
 NEW_USERS_SQL = """

@@ -70,33 +70,58 @@ def _events_proj(sf_dir: str, key: str):
 # ---------------------------------------------------------------------------
 # Per-day event-type transition counts (first-order Markov structure)
 
+TRANS_SHARD_BITS = 6   # 64 balanced user-hash shards
+
+
 def event_transitions_1d(sf_dir: str):
     """Count of (previous event_type -> event_type) transitions between a
     user's CONSECUTIVE same-day events, ordered by (ts, event_id), summed
-    over all users and days.  Day-windowed on purpose: the shard is one
-    (user, day)'s events, so no cross-shard carry exists and the
-    partitioning bound holds by construction."""
+    over all users and days.  Day-windowed on purpose: adjacency is scoped
+    to one (user, day), so no cross-shard carry exists.
+
+    Plan (r5 review: replaces one pandas call per (user, day) cell, 9.9 s
+    -> 64 numpy passes): the projection is hash-sharded BY USER into
+    balanced partitions (a (user, day) run never spans shards); each shard
+    runs ONE vectorized lexsort over (user, day, ts, event_id), masks the
+    adjacent-row pairs that stay inside a (user, day) run, and emits its
+    partial pair counts (<= #types^2 rows) into a tiny keyed sum."""
     from ray.data.aggregate import Sum
 
     proj = _events_proj(sf_dir, "user_id")
 
+    def add_shard(batch: pa.Table) -> pa.Table:
+        u = _col(batch, "user_id").astype(np.int64)
+        s = ((u.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+             >> np.uint64(64 - TRANS_SHARD_BITS)).astype(np.int64)
+        return batch.append_column("shard", _i64(s))
+
+    sharded = proj.map_batches(add_shard, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
     def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"prev_type": pd.Series([], dtype=object),
+                              "next_type": pd.Series([], dtype=object),
+                              "cnt": pd.Series([], dtype=np.int64)})
         if len(g) < 2:
-            return pd.DataFrame({"prev_type": pd.Series([], dtype=object),
-                                 "next_type": pd.Series([], dtype=object),
-                                 "cnt": pd.Series([], dtype=np.int64)})
+            return empty
+        uid = g["user_id"].to_numpy(np.int64)
+        day = g["day"].to_numpy(np.int64)
         o = np.lexsort((g["event_id"].to_numpy(np.int64),
-                        g["ts_us"].to_numpy(np.int64)))
+                        g["ts_us"].to_numpy(np.int64), day, uid))
+        uid, day = uid[o], day[o]
         et = g["event_type"].to_numpy()[o]
-        prev, nxt = et[:-1], et[1:]
-        pair = pd.DataFrame({"prev_type": prev, "next_type": nxt})
+        same = (uid[1:] == uid[:-1]) & (day[1:] == day[:-1])
+        if not same.any():
+            return empty
+        pair = pd.DataFrame({"prev_type": et[:-1][same],
+                             "next_type": et[1:][same]})
         out = pair.groupby(["prev_type", "next_type"],
                            sort=False).size().reset_index(name="cnt")
         out["cnt"] = out["cnt"].astype(np.int64)
         return out
 
-    cand = proj.groupby(["user_id", "day"]).map_groups(
-        per_shard, batch_format="pandas")
+    cand = sharded.groupby("shard").map_groups(per_shard,
+                                               batch_format="pandas")
     return cand.groupby(["prev_type", "next_type"]).aggregate(
         Sum("cnt", alias_name="cnt"))
 
