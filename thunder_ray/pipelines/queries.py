@@ -828,6 +828,7 @@ def build_queries() -> dict:
     from .queries14 import build_queries14
     from .queries15 import build_queries15
     from .queries16 import build_queries16
+    from .queries17 import build_queries17
     from .textops import build_textops_queries
 
     return {
@@ -847,6 +848,7 @@ def build_queries() -> dict:
         **build_queries14(),
         **build_queries15(),
         **build_queries16(),
+        **build_queries17(),
         **build_textops_queries(),
         **build_dedup_queries(),
         **build_ann_queries(),
@@ -893,6 +895,7 @@ def build_oracle_sql() -> dict:
     from .queries14 import build_oracle_sql14
     from .queries15 import build_oracle_sql15
     from .queries16 import build_oracle_sql16
+    from .queries17 import build_oracle_sql17
     from .textops import build_textops_sql
 
     return {
@@ -912,6 +915,7 @@ def build_oracle_sql() -> dict:
         **build_oracle_sql14(),
         **build_oracle_sql15(),
         **build_oracle_sql16(),
+        **build_oracle_sql17(),
         **build_textops_sql(),
         **build_dedup_sql(),
         **build_ann_sql(),
