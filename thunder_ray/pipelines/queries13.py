@@ -30,6 +30,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from ..util import user_hash_shard
+
 
 # per-bucket count guard: scc sums up to 60 squared counts per (source,
 # hour), so the bound must keep 60 * c^2 inside int64 — 60 * (2^28)^2 <
@@ -162,12 +164,10 @@ def _sharded_user_hours(sf_dir: str):
                              "int64 range — widen the pack")
         key = np.unique((u << HOUR_BITS) | h)
         uu = key >> HOUR_BITS
-        s = ((uu.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
-             >> np.uint64(64 - SHARD_BITS)).astype(np.int64)
         return pa.table({
             "user_id": _i64(uu),
             "h": _i64(key & ((1 << HOUR_BITS) - 1)),
-            "shard": _i64(s),
+            "shard": _i64(user_hash_shard(uu, SHARD_BITS)),
         })
 
     return ev.map_batches(partial, batch_format="pyarrow",

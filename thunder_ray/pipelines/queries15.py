@@ -28,6 +28,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from ..util import user_hash_shard
+
 _DAY_US = 86_400_000_000
 
 
@@ -91,9 +93,8 @@ def event_transitions_1d(sf_dir: str):
 
     def add_shard(batch: pa.Table) -> pa.Table:
         u = _col(batch, "user_id").astype(np.int64)
-        s = ((u.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
-             >> np.uint64(64 - TRANS_SHARD_BITS)).astype(np.int64)
-        return batch.append_column("shard", _i64(s))
+        return batch.append_column(
+            "shard", _i64(user_hash_shard(u, TRANS_SHARD_BITS)))
 
     sharded = proj.map_batches(add_shard, batch_format="pyarrow",
                                zero_copy_batch=True)

@@ -33,10 +33,11 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from ..util import user_hash_shard
+from .queries17 import _DAY_BITS, _DAY_US
+
 FUNNEL_A = "view"
 FUNNEL_B = "purchase"
-_DAY_US = 86_400_000_000
-_DAY_BITS = 21  # epoch days fit 21 bits for ~5700 years
 
 
 def _i64(arr) -> pa.Array:
@@ -51,8 +52,9 @@ def _col(batch: pa.Table, name: str) -> np.ndarray:
 # Same-day ordered funnel: users with a FUNNEL_A strictly before a FUNNEL_B
 
 def funnel_view_purchase_1d(sf_dir: str):
-    """Per day: distinct users with a '%s' event strictly before a '%s'
-    event the same day, ordered by (ts, event_id).""" % (FUNNEL_A, FUNNEL_B)
+    """Per day: distinct users with a FUNNEL_A ('view') event strictly
+    before a FUNNEL_B ('purchase') event the same day, ordered by
+    (ts, event_id)."""
     from ray.data.aggregate import Sum
 
     from .queries15 import TRANS_SHARD_BITS, _events_proj
@@ -61,9 +63,8 @@ def funnel_view_purchase_1d(sf_dir: str):
 
     def add_shard(batch: pa.Table) -> pa.Table:
         u = _col(batch, "user_id").astype(np.int64)
-        s = ((u.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
-             >> np.uint64(64 - TRANS_SHARD_BITS)).astype(np.int64)
-        return batch.append_column("shard", _i64(s))
+        return batch.append_column(
+            "shard", _i64(user_hash_shard(u, TRANS_SHARD_BITS)))
 
     sharded = proj.map_batches(add_shard, batch_format="pyarrow",
                                zero_copy_batch=True)
@@ -122,33 +123,17 @@ FROM conv GROUP BY day
 # DAU / trailing-7-day WAU stickiness
 
 def _distinct_user_days(sf_dir: str):
-    """Distinct (user_id, day) pairs — the day-granular sibling of
-    queries13._distinct_user_hours, same packed-key dedup plan."""
-    import ray.data as rd
-    from ray.data.aggregate import Sum
+    """Distinct (user_id, day) pairs, finished globally — derived from
+    queries17's shared batch-deduped source (r5 review: was a near-verbatim
+    copy of it) by dropping the shard column and completing the distinct
+    with one keyed count."""
+    from ray.data.aggregate import Count
 
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
-                         columns=["ts", "user_id"])
+    from .queries17 import _sharded_user_days
 
-    def partial(batch: pa.Table) -> pa.Table:
-        ts_us = _col(batch, "ts").astype("datetime64[us]").astype(np.int64)
-        d = ts_us // _DAY_US
-        u = _col(batch, "user_id").astype(np.int64)
-        if len(u) and (int(d.min()) < 0 or int(d.max()) >= 1 << _DAY_BITS
-                       or int(u.min()) < 0 or int(u.max()) >= 1 << 42):
-            raise ValueError("stickiness: user_id/day outside the packed "
-                             "int64 range — widen the pack")
-        key = np.unique((u << _DAY_BITS) | d)
-        return pa.table({
-            "user_id": _i64(key >> _DAY_BITS),
-            "day": _i64(key & ((1 << _DAY_BITS) - 1)),
-            "one": _i64(np.ones(len(key), dtype=np.int64)),
-        })
-
-    pairs = ev.map_batches(partial, batch_format="pyarrow",
-                           zero_copy_batch=True)
-    return pairs.groupby(["user_id", "day"]).aggregate(
-        Sum("one", alias_name="one")).drop_columns(["one"])
+    return _sharded_user_days(sf_dir).drop_columns(["shard"]).groupby(
+        ["user_id", "day"]).aggregate(Count(alias_name="one")).drop_columns(
+        ["one"])
 
 
 def stickiness_7d(sf_dir: str):

@@ -24,6 +24,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from ..util import user_hash_shard
 from .queries13 import SHARD_BITS
 
 RETENTION_DAYS = 13   # day-k retention tracked for k in [0, 13]
@@ -58,12 +59,10 @@ def _sharded_user_days(sf_dir: str):
             raise ValueError("retention: user_id/day outside the packed "
                              "int64 range — widen the pack")
         key = np.unique((u << _DAY_BITS) | d)
-        s = ((key >> _DAY_BITS).astype(np.uint64)
-             * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(64 - SHARD_BITS)
         return pa.table({
             "user_id": _i64(key >> _DAY_BITS),
             "day": _i64(key & ((1 << _DAY_BITS) - 1)),
-            "shard": _i64(s.astype(np.int64)),
+            "shard": _i64(user_hash_shard(key >> _DAY_BITS, SHARD_BITS)),
         })
 
     return ev.map_batches(partial, batch_format="pyarrow",
@@ -88,6 +87,10 @@ def retention_curve_1d(sf_dir: str, max_k: int = RETENTION_DAYS):
     entry.  The k = 0 row is the cohort size, so
     users[k] / users[0] is the curve a dashboard plots."""
     from ray.data.aggregate import Sum
+
+    if max_k >= 1 << 16:
+        raise ValueError("retention: max_k must fit the 16-bit offset "
+                         "pack (< 65536) — widen the pack first")
 
     def per_shard(g: pd.DataFrame) -> pd.DataFrame:
         u, d, first = _shard_segments(g)

@@ -115,6 +115,18 @@ def fanin_partitions(lo: int = 8, hi: int = 256) -> int:
     return max(lo, min(int(cpus), hi))
 
 
+def user_hash_shard(ids, bits: int):
+    """Multiply-shift (Knuth 2^64 golden-ratio) hash of int64 ids into
+    2^bits balanced shards — THE user-sharding primitive shared by the
+    cohort / sequence kernels (queries13/15/16/17), so the hash constant
+    and contract (one id never spans shards) live in exactly one place."""
+    import numpy as np
+
+    return ((np.asarray(ids, dtype=np.int64).astype(np.uint64)
+             * np.uint64(0x9E3779B97F4A7C15))
+            >> np.uint64(64 - bits)).astype(np.int64)
+
+
 def sharded_merge(ds, key_col: str, kernel, nparts: int | None = None):
     """The two-level candidate-merge scaffold shared by sessionize / M4 /
     counter-increase pass 1: hash-shard rows on an existing int64 column
